@@ -1,0 +1,140 @@
+"""Tile binning: hand-computed fixtures + invariants.
+
+Mirrors the reference's kernel unit-test pattern with literal fixtures
+(reference: tests/GaussianPointCloudRasterisation_test.py:14-51).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
+from taichi_3d_gaussian_splatting_tpu.ops import tiling
+
+
+def make_camera(w=64, h=48):
+    K = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], np.float32)
+    return CameraInfo(camera_intrinsics=K, camera_height=h, camera_width=w)
+
+
+def test_tile_bbox_basic():
+    cam = make_camera()
+    uv = jnp.array([[8.0, 8.0]])     # center of tile (0, 0)
+    radii = jnp.array([1.0])
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv, radii, cam)
+    assert (int(mnu[0]), int(mxu[0]), int(mnv[0]), int(mxv[0])) == (0, 1, 0, 1)
+
+
+def test_tile_bbox_spanning():
+    cam = make_camera()
+    uv = jnp.array([[16.0, 16.0]])   # on the corner of 4 tiles
+    radii = jnp.array([2.0])
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv, radii, cam)
+    # covers tiles u in {0,1}, v in {0,1}
+    assert (int(mnu[0]), int(mxu[0]), int(mnv[0]), int(mxv[0])) == (0, 2, 0, 2)
+
+
+def test_tile_bbox_offscreen_left_still_one_tile():
+    # reference behavior: a point left of the image is clamped into tile
+    # column 0 (reference: GaussianPointCloudRasterisation.py:88-103)
+    cam = make_camera()
+    uv = jnp.array([[-30.0, 8.0]])
+    radii = jnp.array([2.0])
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv, radii, cam)
+    assert (int(mnu[0]), int(mxu[0])) == (0, 1)
+    assert int((mxu[0] - mnu[0]) * (mxv[0] - mnv[0])) == 1
+
+
+def test_min_radius_one_pixel():
+    cam = make_camera()
+    uv = jnp.array([[15.9, 8.0]])
+    radii = jnp.array([0.0])  # clamped to 1 px -> spans tiles 0 and 1 in u
+    mnu, mxu, _, _ = tiling.tile_bbox(uv, radii, cam)
+    assert (int(mnu[0]), int(mxu[0])) == (0, 2)
+
+
+def test_bin_points_sorted_by_tile_then_depth():
+    cam = make_camera()
+    uv = jnp.array([
+        [8.0, 8.0],    # tile 0
+        [24.0, 8.0],   # tile 1
+        [8.0, 8.0],    # tile 0, nearer
+    ])
+    depth = jnp.array([5.0, 2.0, 1.0])
+    radii = jnp.array([1.0, 1.0, 1.0])
+    in_frustum = jnp.array([True, True, True])
+    b = tiling.bin_points_to_tiles(uv, depth, radii, in_frustum, cam,
+                                   max_keys=64, max_tiles_per_point=8)
+    assert int(b.total_keys) == 3
+    assert int(b.key_overflow) == 0
+    valid = np.asarray(b.sorted_valid)
+    tiles = np.asarray(b.sorted_tile_id)[valid]
+    pts = np.asarray(b.sorted_point_idx)[valid]
+    np.testing.assert_array_equal(tiles, [0, 0, 1])
+    np.testing.assert_array_equal(pts, [2, 0, 1])  # nearer first within tile
+    starts = np.asarray(b.tile_starts)
+    ends = np.asarray(b.tile_ends)
+    assert starts[0] == 0 and ends[0] == 2
+    assert starts[1] == 2 and ends[1] == 3
+    assert all(starts[2:] == ends[2:])
+
+
+def test_bin_points_multi_tile_emission():
+    cam = make_camera()
+    uv = jnp.array([[16.0, 16.0]])
+    depth = jnp.array([3.0])
+    radii = jnp.array([2.0])
+    b = tiling.bin_points_to_tiles(uv, depth, radii, jnp.array([True]), cam,
+                                   max_keys=64, max_tiles_per_point=8)
+    assert int(b.total_keys) == 4
+    valid = np.asarray(b.sorted_valid)
+    tiles = sorted(np.asarray(b.sorted_tile_id)[valid].tolist())
+    # tiles (u,v) in {0,1}x{0,1}; tiles_per_row = 4
+    assert tiles == [0, 1, 4, 5]
+
+
+def test_tile_cap_overflow_reported():
+    cam = make_camera()
+    uv = jnp.array([[32.0, 24.0]])
+    depth = jnp.array([3.0])
+    radii = jnp.array([100.0])  # covers all 4x3 = 12 tiles
+    b = tiling.bin_points_to_tiles(uv, depth, radii, jnp.array([True]), cam,
+                                   max_keys=64, max_tiles_per_point=8)
+    assert int(b.total_keys) == 8
+    assert int(b.tile_cap_overflow) == 4
+
+
+def test_key_overflow_reported():
+    cam = make_camera()
+    n = 20
+    uv = jnp.tile(jnp.array([[8.0, 8.0]]), (n, 1))
+    depth = jnp.arange(1, n + 1, dtype=jnp.float32)
+    radii = jnp.ones((n,))
+    b = tiling.bin_points_to_tiles(uv, depth, radii,
+                                   jnp.ones((n,), bool), cam,
+                                   max_keys=16, max_tiles_per_point=8)
+    assert int(b.key_overflow) == 4
+    assert int(np.asarray(b.sorted_valid).sum()) == 16
+
+
+def test_culled_points_emit_nothing():
+    cam = make_camera()
+    uv = jnp.array([[8.0, 8.0], [8.0, 8.0]])
+    depth = jnp.array([1.0, 2.0])
+    radii = jnp.array([1.0, 1.0])
+    in_frustum = jnp.array([True, False])
+    b = tiling.bin_points_to_tiles(uv, depth, radii, in_frustum, cam,
+                                   max_keys=16, max_tiles_per_point=8)
+    assert int(b.total_keys) == 1
+
+
+def test_depth_quantization_matches_reference():
+    # int32 truncation of depth * scale (reference: :158-160)
+    cam = make_camera()
+    uv = jnp.array([[8.0, 8.0]])
+    depth = jnp.array([1.237])
+    b = tiling.bin_points_to_tiles(uv, depth, jnp.array([1.0]),
+                                   jnp.array([True]), cam,
+                                   depth_to_sort_key_scale=100.0,
+                                   max_keys=16, max_tiles_per_point=8)
+    valid = np.asarray(b.sorted_valid)
+    assert np.asarray(b.sorted_depth_key)[valid][0] == 123
