@@ -96,7 +96,11 @@ def conic_and_rescale(cov_uv):
     a = a0 + COV_LOW_PASS
     c = c0 + COV_LOW_PASS
     det = a * c - b0 * b0t
-    rescale = jnp.sqrt(jnp.maximum(0.0, det_pre / det))
+    # the reference never differentiates through the rescale factor
+    # (reference: utils.py:347 "known caveat"); match that contract here so
+    # every consumer (oracle and Pallas paths) shares the same semantics
+    rescale = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(0.0, det_pre / det)))
     inv_det = 1.0 / det
     return jnp.stack([c * inv_det, -b0 * inv_det, a * inv_det, rescale], axis=-1)
 

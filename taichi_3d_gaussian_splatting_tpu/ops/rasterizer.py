@@ -1,0 +1,377 @@
+"""Public differentiable rasterizer: the TPU equivalent of the reference's
+`GaussianPointCloudRasterisation` autograd bridge
+(reference: GaussianPointCloudRasterisation.py:775-1204).
+
+Pipeline (all inside one jit, static shapes throughout):
+  1. per-point projection / SH / conic attributes  (ops/projection.py, jnp AD)
+  2. tile binning: padded key emission + lexicographic sort + tile ranges
+     (ops/tiling.py, index computation, no gradients)
+  3. per-tile blend via Pallas kernels (ops/blend_pallas.py); per-key
+     gradients are routed back to points with a unique-index permutation
+     scatter instead of atomics.
+
+The hand-written Jacobian chain of the reference's point-phase backward
+(reference: :708-772, GaussianPoint3D.py:132-331) is replaced by jax AD
+through the projection stage - analytically identical, but machine-derived.
+
+Two entry points:
+- `rasterize(...)`: differentiable via `jax.grad` (custom VJP inside).
+- `rasterize_with_vjp(...)`: additionally returns an explicit vjp function
+  producing parameter gradients *and* the per-point densification statistics
+  the reference delivers through its backward hook (reference: :806-817,
+  :1127-1142). The trainer uses this so the whole step stays in one jit.
+
+Differentiation contract (matching the reference):
+- gradients flow to point positions and all 56 features;
+- no gradients to camera pose (reference: :1027,1157-1163), depth output or
+  valid-count output (reference backward consumes only the image cotangent);
+- density `rescale` is treated as a constant (reference: utils.py:347).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import CameraInfo, TILE_WIDTH, TILE_HEIGHT
+from . import blend_pallas as BP
+from .projection import compute_point_attributes
+from .tiling import bin_points_to_tiles, num_overlap_tiles
+from .transforms import inverse_SE3_qt
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizerConfig:
+    """Reference config (reference: :776-786) plus TPU capacity knobs."""
+    near_plane: float = 0.8
+    far_plane: float = 1000.0
+    depth_to_sort_key_scale: float = 100.0
+    rgb_only: bool = False
+    grad_color_factor: float = 5.0
+    grad_high_order_color_factor: float = 1.0
+    grad_s_factor: float = 0.5
+    grad_q_factor: float = 1.0
+    grad_alpha_factor: float = 20.0
+    # TPU static-shape budgets (overflow is counted, never silent)
+    max_keys: int = 2 ** 21
+    max_tiles_per_point: int = 64
+    chunk: int = 128
+
+
+class RasterizerAux(NamedTuple):
+    """Non-differentiable side outputs (densification statistics and
+    overflow counters)."""
+    in_frustum: jnp.ndarray           # (N,) bool
+    point_uv: jnp.ndarray             # (N, 2)
+    point_depth: jnp.ndarray          # (N,)
+    num_overlap_tiles: jnp.ndarray    # (N,) int32
+    total_keys: jnp.ndarray           # () int32
+    key_overflow: jnp.ndarray         # () int32
+    tile_cap_overflow: jnp.ndarray    # () int32
+    pixel_accumulated_alpha: jnp.ndarray  # (H, W)
+
+
+class RasterizeResult(NamedTuple):
+    image: jnp.ndarray                # (H, W, 3)
+    depth: jnp.ndarray                # (H, W)
+    pixel_valid_point_count: jnp.ndarray  # (H, W) int32
+    aux: RasterizerAux
+
+
+class BackwardStats(NamedTuple):
+    """Per-point statistics from the backward pass, the TPU analog of
+    `BackwardValidPointHookInput` (reference: :806-817) - N-sized and masked
+    instead of compacted, so everything stays on device."""
+    grad_viewspace: jnp.ndarray              # (N, 2) sum of d L / d uv
+    magnitude_grad_viewspace: jnp.ndarray    # (N,) sum over pixels of |duv|
+    num_affected_pixels: jnp.ndarray         # (N,) int32
+    magnitude_grad_viewspace_on_image: jnp.ndarray  # (H, W, 2)
+
+
+class TileGrid(NamedTuple):
+    """Hashable static view of the tile layout (usable in custom_vjp
+    nondiff args, unlike CameraInfo which holds an array)."""
+    height: int
+    width: int
+    tiles_per_row: int
+    tiles_per_col: int
+
+    @property
+    def num_tiles(self):
+        return self.tiles_per_row * self.tiles_per_col
+
+    @staticmethod
+    def from_camera(camera_info: CameraInfo) -> "TileGrid":
+        return TileGrid(camera_info.camera_height, camera_info.camera_width,
+                        camera_info.tiles_per_row, camera_info.tiles_per_col)
+
+
+def _tiles_to_image(tile_out, grid: TileGrid):
+    """(num_tiles, 256, C) -> (H, W, C) pixel-major."""
+    th = grid.tiles_per_col
+    tw = grid.tiles_per_row
+    c = tile_out.shape[-1]
+    x = tile_out.reshape(th, tw, TILE_HEIGHT, TILE_WIDTH, c)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(grid.height, grid.width, c)
+
+
+def _image_to_tiles(image, grid: TileGrid):
+    """(H, W, C) -> (num_tiles, 256, C)."""
+    th = grid.tiles_per_col
+    tw = grid.tiles_per_row
+    c = image.shape[-1]
+    x = image.reshape(th, TILE_HEIGHT, tw, TILE_WIDTH, c)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(th * tw, TILE_HEIGHT * TILE_WIDTH, c)
+
+
+def _assemble_point_data(uv, conic, logw, color, depth, sorted_point_idx):
+    """Gather per-point attributes into the (16, MAX_KEYS) sorted slab."""
+    zeros = jnp.zeros_like(logw)
+    rows = jnp.stack([
+        uv[:, 0], uv[:, 1], conic[:, 0], conic[:, 1], conic[:, 2], logw,
+        zeros, zeros,
+        color[:, 0], color[:, 1], color[:, 2], depth, jnp.ones_like(logw),
+        zeros, zeros, zeros,
+    ], axis=0)
+    return rows[:, sorted_point_idx]
+
+
+class _BlendBinning(NamedTuple):
+    sorted_point_idx: jnp.ndarray
+    sorted_emission_idx: jnp.ndarray
+    tile_starts: jnp.ndarray
+    tile_ends: jnp.ndarray
+
+
+def _blend_fwd_explicit(uv, conic, logw, color, depth, binning, grid: TileGrid,
+                        chunk):
+    point_data = _assemble_point_data(uv, conic, logw, color, depth,
+                                      binning.sorted_point_idx)
+    tile_out = BP.blend_forward(
+        point_data, binning.tile_starts, binning.tile_ends,
+        num_tiles=grid.num_tiles,
+        tiles_per_row=grid.tiles_per_row, chunk=chunk)
+    return point_data, tile_out
+
+
+def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
+                        n, t_cap, chunk):
+    """Run the Pallas backward and reduce per-key gradients to per-point.
+
+    Returns per-point cotangents (duv, dconic, dlogw, dcolor) and
+    BackwardStats.
+    """
+    g_tiles = _image_to_tiles(g_image, grid)  # (T, 256, 3)
+    pixel_in = jnp.concatenate(
+        [g_tiles, tile_out[:, :, 0:3], jnp.zeros_like(g_tiles[:, :, 0:2])],
+        axis=-1)  # (T, 256, 8)
+    grad_data, mag_image_tiles = BP.blend_backward(
+        point_data, binning.tile_starts, binning.tile_ends, pixel_in,
+        num_tiles=grid.num_tiles,
+        tiles_per_row=grid.tiles_per_row, chunk=chunk)
+
+    # route per-key gradients back to emission slots (unique permutation
+    # scatter - the TPU replacement for the reference's atomics, :675-696)
+    g_keys = grad_data.T  # (MAX_KEYS, 16)
+    slots = jnp.zeros((n * t_cap, 16), jnp.float32)
+    slots = slots.at[binning.sorted_emission_idx].set(
+        g_keys, mode="drop", unique_indices=True)
+    per_point = slots.reshape(n, t_cap, 16).sum(axis=1)  # (N, 16)
+
+    duv = per_point[:, BP.GROW_DU:BP.GROW_DV + 1]
+    dconic = per_point[:, BP.GROW_DA:BP.GROW_DC + 1]
+    dlogw = per_point[:, BP.GROW_DLOGW]
+    dcolor = per_point[:, BP.GROW_DR:BP.GROW_DB_COL + 1]
+    stats = BackwardStats(
+        grad_viewspace=duv,
+        magnitude_grad_viewspace=per_point[:, BP.GROW_MAG_UV],
+        num_affected_pixels=per_point[:, BP.GROW_NUM_PIXELS].astype(jnp.int32),
+        magnitude_grad_viewspace_on_image=_tiles_to_image(
+            mag_image_tiles, grid)[:, :, 0:2],
+    )
+    return (duv, dconic, dlogw, dcolor), stats
+
+
+def _float0_zeros(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper so plain jax.grad works through the Pallas blend
+# static_cfg = (camera_info, chunk, t_cap, n)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blend_core(static_cfg, uv, conic, logw, color, depth,
+                sorted_point_idx, sorted_emission_idx, tile_starts, tile_ends):
+    out, _ = _blend_core_fwd(static_cfg, uv, conic, logw, color, depth,
+                             sorted_point_idx, sorted_emission_idx,
+                             tile_starts, tile_ends)
+    return out
+
+
+def _blend_core_fwd(static_cfg, uv, conic, logw, color, depth,
+                    sorted_point_idx, sorted_emission_idx, tile_starts,
+                    tile_ends):
+    grid, chunk, t_cap, n = static_cfg
+    binning = _BlendBinning(sorted_point_idx, sorted_emission_idx,
+                            tile_starts, tile_ends)
+    point_data, tile_out = _blend_fwd_explicit(
+        uv, conic, logw, color, depth, binning, grid, chunk)
+    residuals = (point_data, tile_out, sorted_point_idx, sorted_emission_idx,
+                 tile_starts, tile_ends)
+    return tile_out, residuals
+
+
+def _blend_core_bwd(static_cfg, residuals, g_tile_out):
+    grid, chunk, t_cap, n = static_cfg
+    (point_data, tile_out, sorted_point_idx, sorted_emission_idx,
+     tile_starts, tile_ends) = residuals
+    binning = _BlendBinning(sorted_point_idx, sorted_emission_idx,
+                            tile_starts, tile_ends)
+    # only the rgb columns of the tile output carry gradient
+    g_image = _tiles_to_image(g_tile_out[:, :, 0:3], grid)
+    (duv, dconic, dlogw, dcolor), _ = _blend_bwd_explicit(
+        point_data, tile_out, g_image, binning, grid, n, t_cap, chunk)
+    return (duv, dconic, dlogw, dcolor,
+            jnp.zeros_like(dlogw),                  # depth: no grad
+            _float0_zeros(sorted_point_idx),
+            _float0_zeros(sorted_emission_idx),
+            _float0_zeros(tile_starts),
+            _float0_zeros(tile_ends))
+
+
+_blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
+                     point_object_id, q_pointcloud_camera,
+                     t_pointcloud_camera, camera_info, config, color_sh_mask):
+    q_cam, t_cam = inverse_SE3_qt(q_pointcloud_camera, t_pointcloud_camera)
+    attrs = compute_point_attributes(
+        pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
+        q_cam, t_cam, t_pointcloud_camera, camera_info,
+        config.near_plane, config.far_plane, color_sh_mask)
+    binning = bin_points_to_tiles(
+        attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum,
+        camera_info,
+        depth_to_sort_key_scale=config.depth_to_sort_key_scale,
+        max_keys=config.max_keys,
+        max_tiles_per_point=config.max_tiles_per_point)
+    return attrs, binning
+
+
+def _blend_inputs_from_attrs(attrs):
+    """Split attributes into the blend's differentiable inputs.
+
+    rescale enters log-space with gradient blocked (reference: utils.py:347);
+    the alpha-logit chain flows through log(sigmoid(alpha)).
+    """
+    rescale_log = jax.lax.stop_gradient(
+        jnp.log(jnp.maximum(attrs.conic_and_rescale[:, 3], 1e-30)))
+    logw = rescale_log + jnp.log(
+        jnp.maximum(attrs.alpha_after_activation, 1e-30))
+    return (attrs.uv, attrs.conic_and_rescale[:, 0:3], logw, attrs.color,
+            jax.lax.stop_gradient(attrs.xyz_camera[:, 2]))
+
+
+def _result_from_tile_out(tile_out, attrs, binning, camera_info):
+    grid = TileGrid.from_camera(camera_info)
+    pix = _tiles_to_image(tile_out, grid)  # (H, W, 8)
+    image = pix[:, :, 0:3]
+    depth = jax.lax.stop_gradient(pix[:, :, BP.OUT_DEPTH])
+    count = jax.lax.stop_gradient(pix[:, :, BP.OUT_COUNT]).astype(jnp.int32)
+    acc_alpha = jax.lax.stop_gradient(pix[:, :, BP.OUT_ACC_ALPHA])
+    aux = RasterizerAux(
+        in_frustum=attrs.in_frustum,
+        point_uv=jax.lax.stop_gradient(attrs.uv),
+        point_depth=jax.lax.stop_gradient(attrs.xyz_camera[:, 2]),
+        num_overlap_tiles=jax.lax.stop_gradient(num_overlap_tiles(
+            attrs.uv, attrs.radii, attrs.in_frustum, camera_info)),
+        total_keys=binning.total_keys,
+        key_overflow=binning.key_overflow,
+        tile_cap_overflow=binning.tile_cap_overflow,
+        pixel_accumulated_alpha=acc_alpha,
+    )
+    return RasterizeResult(image=image, depth=depth,
+                           pixel_valid_point_count=count, aux=aux)
+
+
+def rasterize(
+    pointcloud: jnp.ndarray,           # (N, 3)
+    pointcloud_features: jnp.ndarray,  # (N, 56)
+    point_invalid_mask: jnp.ndarray,   # (N,)
+    point_object_id: jnp.ndarray,      # (N,) int32
+    q_pointcloud_camera: jnp.ndarray,  # (K, 4)
+    t_pointcloud_camera: jnp.ndarray,  # (K, 3)
+    camera_info: CameraInfo,
+    config: RasterizerConfig,
+    color_sh_mask=None,                # optional (16,) band curriculum mask
+) -> RasterizeResult:
+    """Render one view. Differentiable wrt pointcloud and features via
+    jax.grad (equivalent of reference forward, :1184-1204)."""
+    camera_info.validate()
+    n = pointcloud.shape[0]
+    attrs, binning = _project_and_bin(
+        pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
+        q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
+        color_sh_mask)
+    static_cfg = (TileGrid.from_camera(camera_info), config.chunk,
+                  config.max_tiles_per_point, n)
+    uv, conic, logw, color, depth = _blend_inputs_from_attrs(attrs)
+    tile_out = _blend_core(
+        static_cfg, uv, conic, logw, color, depth,
+        binning.sorted_point_idx, binning.sorted_emission_idx,
+        binning.tile_starts, binning.tile_ends)
+    return _result_from_tile_out(tile_out, attrs, binning, camera_info)
+
+
+def rasterize_with_vjp(
+    pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
+    q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
+    color_sh_mask=None,
+) -> Tuple[RasterizeResult, Callable]:
+    """Like `rasterize`, but also returns `vjp_fn(g_image) ->
+    (grad_pointcloud, grad_pointcloud_features, BackwardStats)`.
+
+    The returned gradients are raw - per-group gradient scaling and SH-band
+    masking (reference: :1102-1125) are applied by the caller (trainer).
+    """
+    camera_info.validate()
+    n = pointcloud.shape[0]
+
+    def attr_fn(pc, feats):
+        attrs, binning = _project_and_bin(
+            pc, feats, point_invalid_mask, point_object_id,
+            q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
+            color_sh_mask)
+        uv, conic, logw, color, depth = _blend_inputs_from_attrs(attrs)
+        return (uv, conic, logw, color), (attrs, binning, depth)
+
+    (uv, conic, logw, color), attr_vjp, (attrs, binning, depth) = jax.vjp(
+        attr_fn, pointcloud, pointcloud_features, has_aux=True)
+
+    grid = TileGrid.from_camera(camera_info)
+    point_data, tile_out = _blend_fwd_explicit(
+        uv, conic, logw, color, depth, binning, grid, config.chunk)
+    result = _result_from_tile_out(tile_out, attrs, binning, camera_info)
+
+    def vjp_fn(g_image):
+        cotangents, stats = _blend_bwd_explicit(
+            point_data, tile_out, g_image, binning, grid, n,
+            config.max_tiles_per_point, config.chunk)
+        grad_pc, grad_feats = attr_vjp(cotangents)
+        return grad_pc, grad_feats, stats
+
+    return result, vjp_fn

@@ -133,7 +133,10 @@ def bin_points_to_tiles(
     # (disjoint [offset, offset+count) ranges), OOB rows are dropped.
     pad_tile = jnp.full((max_keys,), num_tiles, dtype=jnp.int32)
     pad_depth = jnp.full((max_keys,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-    pad_emission = jnp.zeros((max_keys,), dtype=jnp.int32)
+    # padding sentinel: out-of-range so the backward's permutation scatter
+    # drops padding keys instead of clobbering emission slot 0
+    pad_emission = jnp.full((max_keys,), jnp.iinfo(jnp.int32).max,
+                            dtype=jnp.int32)
     flat_target = target.reshape(-1)
     buf_tile = pad_tile.at[flat_target].set(
         tile_id.reshape(-1), mode="drop", unique_indices=True)

@@ -1,0 +1,511 @@
+"""Training loop: the TPU rebuild of `GaussianPointCloudTrainer`
+(reference: GaussianPointTrainer.py).
+
+Reference semantics preserved:
+- two Adam chains: features at `feature_learning_rate`, positions at
+  `position_learning_rate` with exponential decay applied every
+  `position_learning_rate_decay_interval` iterations (reference: :126-132,
+  183-184)
+- coarse-to-fine: start at `initial_downsample_factor`, halve every
+  `half_downsample_factor_interval` iterations (reference: :133,139-148)
+- SH band curriculum `iteration // increase_color_max_sh_band_interval`
+  (reference: :163), implemented as a mask input so it never recompiles
+- per-group gradient scaling + SH band gradient masking applied to the
+  rasterizer-path feature gradients only (reference:
+  GaussianPointCloudRasterisation.py:1102-1125)
+- the stored quaternion is re-normalized at the top of every step (the
+  reference normalizes it in place inside the forward kernel, reference:
+  GaussianPointCloudRasterisation.py:197-205,264)
+- adaptive controller: statistics accumulate inside the step; densify runs
+  every `num_iterations_densify` after warm-up using the trigger step's
+  pre-optimizer positions; alpha reset every `num_iterations_reset_alpha`
+  (reference: GaussianPointAdaptiveController.py)
+- validation every `val_interval` plus hard-coded iterations 5000/7000
+  (reference: :266), writing scene_{it}.parquet and best_scene.parquet
+  (reference: :410-415)
+- loss-spike detector: loss > 1.5x rolling-100 mean flags a problematic
+  iteration (reference: :233-238)
+
+TPU-native differences:
+- one jitted step per (H, W) shape; the downsample schedule touches only ~3
+  shapes so at most 3 executables are compiled (SURVEY.md section 7)
+- Adam state is NOT reset when densification reuses an invalid slot - the
+  reference's optimizers keep per-slot moments across refills too
+  (reference: GaussianPointAdaptiveController.py:290-353 mutates parameter
+  storage in place under torch.no_grad)
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import config as config_io
+from ..camera import CameraInfo
+from ..data.dataset import ImagePoseDataset, PrefetchLoader, DatasetItem
+from ..models.scene import GaussianPointCloudScene, SceneConfig
+from ..ops.rasterizer import RasterizerConfig, rasterize, rasterize_with_vjp
+from ..ops.sh import feature_sh_band_mask
+from .controller import (AdaptiveControllerConfig, ControllerState,
+                         densify_step, reset_alpha, update_stats)
+from .loss import LossFunction, LossFunctionConfig
+from .ssim import psnr as psnr_fn
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """reference: GaussianPointTrainer.py:32-58 (same YAML schema)."""
+    train_dataset_json_path: str = ""
+    val_dataset_json_path: str = ""
+    pointcloud_parquet_path: str = ""
+    num_iterations: int = 300000
+    val_interval: int = 1000
+    feature_learning_rate: float = 1e-3
+    position_learning_rate: float = 1e-5
+    position_learning_rate_decay_rate: float = 0.97
+    position_learning_rate_decay_interval: int = 100
+    increase_color_max_sh_band_interval: int = 1000
+    log_loss_interval: int = 10
+    log_metrics_interval: int = 100
+    print_metrics_to_console: bool = False
+    log_image_interval: int = 1000
+    enable_taichi_kernel_profiler: bool = False  # YAML compat; no-op on TPU
+    log_taichi_kernel_profile_interval: int = 1000
+    log_validation_image: bool = True
+    initial_downsample_factor: int = 4
+    half_downsample_factor_interval: int = 250
+    summary_writer_log_dir: str = "logs"
+    output_model_dir: Optional[str] = None
+    seed: int = 0
+    rasterisation_config: RasterizerConfig = dataclasses.field(
+        default_factory=RasterizerConfig)
+    adaptive_controller_config: AdaptiveControllerConfig = dataclasses.field(
+        default_factory=AdaptiveControllerConfig)
+    gaussian_point_cloud_scene_config: SceneConfig = dataclasses.field(
+        default_factory=SceneConfig)
+    loss_function_config: LossFunctionConfig = dataclasses.field(
+        default_factory=LossFunctionConfig)
+
+    @staticmethod
+    def from_yaml_file(path: str) -> "TrainConfig":
+        return config_io.from_yaml_file(TrainConfig, path)
+
+    def to_yaml_file(self, path: str):
+        config_io.to_yaml_file(self, path)
+
+
+def _grad_group_scale(config: RasterizerConfig) -> np.ndarray:
+    """(56,) per-feature gradient scale vector (reference: :1105-1125)."""
+    scale = np.full((56,), config.grad_high_order_color_factor, np.float32)
+    scale[0:4] = config.grad_q_factor
+    scale[4:7] = config.grad_s_factor
+    scale[7] = config.grad_alpha_factor
+    scale[8] = config.grad_color_factor
+    scale[24] = config.grad_color_factor
+    scale[40] = config.grad_color_factor
+    return scale
+
+
+def _downsample_item(item: DatasetItem, factor: int) -> DatasetItem:
+    """Host-side image/camera downsample (reference: :97-116)."""
+    if factor <= 1:
+        return item
+    import PIL.Image
+    cam = item.camera_info.downsample(factor)
+    pil = PIL.Image.fromarray((item.image * 255.0).astype(np.uint8))
+    resized = pil.resize((item.camera_info.camera_width // factor,
+                          item.camera_info.camera_height // factor),
+                         PIL.Image.BILINEAR)
+    arr = np.asarray(resized, np.float32)[:cam.camera_height,
+                                          :cam.camera_width, :3] / 255.0
+    return DatasetItem(np.ascontiguousarray(arr), item.q_pointcloud_camera,
+                       item.t_pointcloud_camera, cam)
+
+
+class MetricsLogger:
+    """JSONL + console + (optional) TensorBoard sinks. Console output uses
+    the `key=value;` format the reference's CI scrapes
+    (reference: :212-231,403-409; ci/run_experiment.py)."""
+
+    def __init__(self, log_dir: str, print_to_console: bool,
+                 enable_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self.print_to_console = print_to_console
+        self.tb = None
+        if enable_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self.tb = None
+
+    def scalars(self, iteration: int, values: dict, console_keys=()):
+        rec = {"iteration": iteration}
+        rec.update({k: float(v) for k, v in values.items()})
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in values.items():
+                self.tb.add_scalar(k, float(v), iteration)
+        if self.print_to_console:
+            for k in (console_keys or values.keys()):
+                print(f"{k.replace('/', '_')}={float(values[k])};")
+
+    def image(self, iteration: int, tag: str, image_hwc: np.ndarray):
+        if self.tb is not None:
+            self.tb.add_image(tag, np.transpose(
+                np.clip(image_hwc, 0, 1), (2, 0, 1)), iteration)
+
+    def histogram(self, iteration: int, tag: str, values: np.ndarray):
+        if self.tb is not None:
+            try:
+                self.tb.add_histogram(tag, values, iteration)
+            except Exception:
+                pass
+
+
+class GaussianPointCloudTrainer:
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        os.makedirs(config.summary_writer_log_dir, exist_ok=True)
+        if config.output_model_dir is None:
+            config.output_model_dir = config.summary_writer_log_dir
+        os.makedirs(config.output_model_dir, exist_ok=True)
+        self.logger = MetricsLogger(config.summary_writer_log_dir,
+                                    config.print_metrics_to_console)
+        self.train_dataset = ImagePoseDataset(config.train_dataset_json_path)
+        self.val_dataset = ImagePoseDataset(config.val_dataset_json_path)
+        self.scene = GaussianPointCloudScene.from_parquet(
+            config.pointcloud_parquet_path,
+            config.gaussian_point_cloud_scene_config, seed=config.seed)
+        n = self.scene.capacity
+        self.ctrl_state = ControllerState.zeros(n)
+        self.loss_fn = LossFunction(config.loss_function_config)
+        self.best_psnr_score = 0.0
+        self.key = jax.random.PRNGKey(config.seed)
+
+        feat_lr = config.feature_learning_rate
+        pos_base = config.position_learning_rate
+        gamma = config.position_learning_rate_decay_rate
+        interval = config.position_learning_rate_decay_interval
+
+        def pos_schedule(count):
+            # reference steps the scheduler right after the optimizer step on
+            # iterations 0, interval, 2*interval, ... (reference: :183-184)
+            return pos_base * gamma ** jnp.ceil(count / interval)
+
+        self.feature_optimizer = optax.adam(feat_lr, b1=0.9, b2=0.999,
+                                            eps=1e-8)
+        self.position_optimizer = optax.adam(pos_schedule, b1=0.9, b2=0.999,
+                                             eps=1e-8)
+        self.opt_state_features = self.feature_optimizer.init(
+            self.scene.point_cloud_features)
+        self.opt_state_positions = self.position_optimizer.init(
+            self.scene.point_cloud)
+        self._step_fns = {}
+        self._grad_scale = jnp.asarray(
+            _grad_group_scale(config.rasterisation_config))
+        self._densify_fn = None
+        self._reset_alpha_fn = None
+
+    # ------------------------------------------------------------------
+    # jitted step construction (one executable per image shape)
+    # ------------------------------------------------------------------
+
+    def _get_step_fn(self, camera_info: CameraInfo):
+        key = (camera_info.camera_height, camera_info.camera_width)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        raster_cfg = self.config.rasterisation_config
+        loss_fn = self.loss_fn
+        grad_scale = self._grad_scale
+        feature_optimizer = self.feature_optimizer
+        position_optimizer = self.position_optimizer
+
+        @jax.jit
+        def step(scene: GaussianPointCloudScene, opt_feat, opt_pos,
+                 ctrl_state: ControllerState, image_gt, q, t, sh_band,
+                 intrinsics):
+            cam = dataclasses.replace(camera_info,
+                                      camera_intrinsics=intrinsics)
+            feats = scene.point_cloud_features
+            # quaternion re-normalization (reference side effect, :264)
+            qnorm = feats[:, 0:4] / jnp.linalg.norm(
+                feats[:, 0:4], axis=1, keepdims=True)
+            feats = feats.at[:, 0:4].set(qnorm)
+            scene = scene._replace(point_cloud_features=feats)
+
+            # the reference evaluates the full deg-3 SH in forward and gates
+            # the curriculum purely through gradient masking (reference:
+            # :1167-1182); match that exactly (inactive coeffs stay zero)
+            result, vjp_fn = rasterize_with_vjp(
+                scene.point_cloud, feats, scene.point_invalid_mask,
+                scene.point_object_id, q, t, cam, raster_cfg)
+
+            def image_loss(image, features):
+                img = jnp.clip(image, 0.0, 1.0)
+                loss, l1, ld_ssim = loss_fn(
+                    img, image_gt,
+                    point_invalid_mask=scene.point_invalid_mask,
+                    pointcloud_features=features)
+                return loss, (l1, ld_ssim, img)
+
+            (loss, (l1, ld_ssim, img)), loss_grads = jax.value_and_grad(
+                image_loss, argnums=(0, 1), has_aux=True)(result.image, feats)
+            g_image, g_feats_direct = loss_grads
+
+            grad_pc, grad_feats_raster, stats = vjp_fn(g_image)
+            # per-group scaling + SH band gradient masking on the
+            # rasterizer path only (reference: :1102-1125)
+            band_mask = feature_sh_band_mask(sh_band)
+            grad_feats = grad_feats_raster * grad_scale * band_mask \
+                + g_feats_direct
+
+            updates_f, opt_feat = feature_optimizer.update(
+                grad_feats, opt_feat, feats)
+            new_feats = optax.apply_updates(feats, updates_f)
+            updates_p, opt_pos = position_optimizer.update(
+                grad_pc, opt_pos, scene.point_cloud)
+            new_pc = optax.apply_updates(scene.point_cloud, updates_p)
+
+            new_scene = scene._replace(point_cloud=new_pc,
+                                       point_cloud_features=new_feats)
+            ctrl_state = update_stats(ctrl_state, stats, grad_pc,
+                                      result.aux.in_frustum)
+            metrics = {
+                "loss": loss, "l1": l1, "ssim_loss": ld_ssim,
+                "psnr": psnr_fn(img, image_gt),
+                "ssim": 1.0 - ld_ssim,
+                "key_overflow": result.aux.key_overflow,
+                "tile_cap_overflow": result.aux.tile_cap_overflow,
+                "total_keys": result.aux.total_keys,
+            }
+            densify_inputs = (stats, result.aux.in_frustum,
+                              result.aux.point_depth)
+            return (new_scene, opt_feat, opt_pos, ctrl_state, metrics,
+                    densify_inputs, result.pixel_valid_point_count,
+                    result.depth, img)
+
+        self._step_fns[key] = step
+        return step
+
+    def _get_densify_fn(self):
+        if self._densify_fn is None:
+            cfg = self.config.adaptive_controller_config
+
+            @jax.jit
+            def densify(scene, ctrl_state, stats, in_frustum, depth,
+                        pos_before, iteration, key):
+                return densify_step(scene, ctrl_state, stats, in_frustum,
+                                    depth, pos_before, iteration, key, cfg)
+
+            self._densify_fn = densify
+        return self._densify_fn
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+
+    def train(self):
+        config = self.config
+        ctrl_cfg = config.adaptive_controller_config
+        loader = PrefetchLoader(self.train_dataset, shuffle=True,
+                                num_workers=4, seed=config.seed)
+        data_iter = iter(loader)
+        downsample_factor = config.initial_downsample_factor
+        recent_losses = collections.deque(maxlen=100)
+        previous_problematic_iteration = -1000
+
+        try:
+            from tqdm import tqdm
+            progress = tqdm(range(config.num_iterations))
+        except ImportError:
+            progress = range(config.num_iterations)
+
+        for iteration in progress:
+            if (iteration % config.half_downsample_factor_interval == 0
+                    and iteration > 0 and downsample_factor > 1):
+                downsample_factor = downsample_factor // 2
+            item = next(data_iter)
+            item = _downsample_item(item, downsample_factor)
+            cam = item.camera_info
+            step = self._get_step_fn(cam)
+
+            sh_band = iteration // config.increase_color_max_sh_band_interval
+            pos_before = self.scene.point_cloud  # pre-optimizer positions
+            (self.scene, self.opt_state_features, self.opt_state_positions,
+             self.ctrl_state, metrics, densify_inputs, valid_count_map,
+             depth_map, pred_image) = step(
+                self.scene, self.opt_state_features, self.opt_state_positions,
+                self.ctrl_state, jnp.asarray(item.image),
+                jnp.asarray(item.q_pointcloud_camera),
+                jnp.asarray(item.t_pointcloud_camera),
+                jnp.int32(sh_band),
+                jnp.asarray(cam.camera_intrinsics, jnp.float32))
+
+            # ---- adaptive controller cadence (reference: :142-167) ----
+            densified = False
+            if (iteration >= ctrl_cfg.num_iterations_warm_up
+                    and iteration % ctrl_cfg.num_iterations_densify == 0):
+                stats, in_frustum, depth_pts = densify_inputs
+                self.key, subkey = jax.random.split(self.key)
+                self.scene, self.ctrl_state, counts = self._get_densify_fn()(
+                    self.scene, self.ctrl_state, stats, in_frustum,
+                    depth_pts, pos_before, jnp.int32(iteration), subkey)
+                densified = True
+                self.logger.scalars(iteration, {
+                    "densify/num_transparent": counts.num_transparent,
+                    "densify/num_floaters": counts.num_floaters,
+                    "densify/num_candidates": counts.num_candidates,
+                    "densify/num_fillable": counts.num_fillable,
+                    "densify/num_over_reconstructed":
+                        counts.num_over_reconstructed,
+                    "value/num_valid_points": counts.num_valid_after,
+                })
+            if (iteration >= ctrl_cfg.num_iterations_warm_up
+                    and iteration % ctrl_cfg.num_iterations_reset_alpha == 0):
+                self.scene = reset_alpha(self.scene, ctrl_cfg)
+
+            # ---- logging (reference: :205-264) ----
+            loss_value = float(metrics["loss"])
+            recent_losses.append(loss_value)
+            is_problematic = False
+            if (len(recent_losses) == recent_losses.maxlen
+                    and iteration - previous_problematic_iteration
+                    > recent_losses.maxlen):
+                avg_loss = sum(recent_losses) / len(recent_losses)
+                if loss_value > avg_loss * 1.5:
+                    is_problematic = True
+                    previous_problematic_iteration = iteration
+
+            if iteration % config.log_loss_interval == 0:
+                self.logger.scalars(iteration, {
+                    "train/loss": metrics["loss"],
+                    "train/l1 loss": metrics["l1"],
+                    "train/ssim loss": metrics["ssim_loss"],
+                    "train/key_overflow": metrics["key_overflow"],
+                    "train/total_keys": metrics["total_keys"],
+                }, console_keys=(
+                    ("train/loss", "train/l1 loss", "train/ssim loss")
+                    if config.print_metrics_to_console else ()))
+                if config.print_metrics_to_console:
+                    print(f"train_iteration={iteration};")
+            if iteration % config.log_metrics_interval == 0:
+                vals = {"train/psnr": metrics["psnr"],
+                        "train/ssim": metrics["ssim"]}
+                self.logger.scalars(iteration, vals)
+                if config.print_metrics_to_console:
+                    print(f"train_psnr={float(metrics['psnr'])};")
+                    print(f"train_psnr_{iteration}={float(metrics['psnr'])};")
+                    print(f"train_ssim={float(metrics['ssim'])};")
+                    print(f"train_ssim_{iteration}={float(metrics['ssim'])};")
+            if iteration % config.log_image_interval == 0 or is_problematic:
+                tag = ("train/image_problematic" if is_problematic
+                       else "train/image")
+                grid = np.concatenate([
+                    np.asarray(pred_image), np.asarray(item.image)], axis=1)
+                self.logger.image(iteration, tag, grid)
+
+            if ((iteration % config.val_interval == 0 and iteration != 0)
+                    or iteration in (5000, 7000)):  # reference: :266
+                self.validation(iteration)
+
+        self.validation(config.num_iterations)
+
+    # ------------------------------------------------------------------
+    # validation (reference: :334-415)
+    # ------------------------------------------------------------------
+
+    def _render_for_eval(self, item: DatasetItem):
+        cam = item.camera_info
+        raster_cfg = self.config.rasterisation_config
+        result = _eval_render(
+            self.scene, jnp.asarray(item.q_pointcloud_camera),
+            jnp.asarray(item.t_pointcloud_camera),
+            jnp.asarray(cam.camera_intrinsics, jnp.float32),
+            CameraInfoStatic(cam.camera_height, cam.camera_width),
+            raster_cfg)
+        return result
+
+    def validation(self, iteration: int):
+        config = self.config
+        total_loss = total_psnr = total_ssim = 0.0
+        total_time = 0.0
+        count = 0
+        for idx in range(len(self.val_dataset)):
+            item = self.val_dataset[idx]
+            cam = item.camera_info
+            t0 = time.perf_counter()
+            image = self._render_for_eval(item)
+            image.block_until_ready()
+            total_time += (time.perf_counter() - t0) * 1000.0
+            img = jnp.clip(image, 0.0, 1.0)
+            gt = jnp.asarray(item.image)
+            loss, _, ld_ssim = self.loss_fn(img, gt)
+            total_loss += float(loss)
+            total_psnr += float(psnr_fn(img, gt))
+            total_ssim += float(1.0 - ld_ssim)
+            count += 1
+            if config.log_validation_image:
+                grid = np.concatenate([np.asarray(img), np.asarray(gt)],
+                                      axis=1)
+                self.logger.image(iteration, f"val/image {idx}", grid)
+        if count == 0:
+            return
+        mean_loss = total_loss / count
+        mean_psnr = total_psnr / count
+        mean_ssim = total_ssim / count
+        mean_time = total_time / count
+        self.logger.scalars(iteration, {
+            "val/loss": mean_loss, "val/psnr": mean_psnr,
+            "val/ssim": mean_ssim, "val/inference_time": mean_time,
+        })
+        if config.print_metrics_to_console:
+            print(f"val_loss={mean_loss};")
+            print(f"val_psnr={mean_psnr};")
+            print(f"val_psnr_{iteration}={mean_psnr};")
+            print(f"val_ssim={mean_ssim};")
+            print(f"val_ssim_{iteration}={mean_ssim};")
+            print(f"val_inference_time={mean_time};")
+        self.scene.to_parquet(os.path.join(
+            config.output_model_dir, f"scene_{iteration}.parquet"))
+        if mean_psnr > self.best_psnr_score:
+            self.best_psnr_score = mean_psnr
+            self.scene.to_parquet(os.path.join(
+                config.output_model_dir, "best_scene.parquet"))
+
+
+class CameraInfoStatic(tuple):
+    """Hashable (height, width) pair used as a static jit argument."""
+    def __new__(cls, h, w):
+        return super().__new__(cls, (h, w))
+
+    @property
+    def camera_height(self):
+        return self[0]
+
+    @property
+    def camera_width(self):
+        return self[1]
+
+
+@partial(jax.jit, static_argnames=("cam_hw", "raster_cfg"))
+def _eval_render(scene, q, t, intrinsics, cam_hw, raster_cfg):
+    cam = CameraInfo(camera_intrinsics=intrinsics,
+                     camera_height=cam_hw.camera_height,
+                     camera_width=cam_hw.camera_width)
+    result = rasterize(scene.point_cloud, scene.point_cloud_features,
+                       scene.point_invalid_mask, scene.point_object_id,
+                       q, t, cam, raster_cfg)
+    return result.image

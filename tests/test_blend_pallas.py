@@ -1,0 +1,254 @@
+"""Pallas blend kernels vs the jnp scan oracle (values and gradients).
+
+This is the core correctness gate for the production rasterizer: the Pallas
+MXU formulation must match the sequential-scan oracle bit-for-semantics on
+random scenes, including skip/clamp/saturation edge cases.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
+from taichi_3d_gaussian_splatting_tpu.ops import tiling
+from taichi_3d_gaussian_splatting_tpu.ops.blend_reference import blend_reference
+from taichi_3d_gaussian_splatting_tpu.ops.projection import compute_point_attributes
+from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+    RasterizerConfig, rasterize, rasterize_with_vjp)
+
+
+def make_camera(w=32, h=32, f=25.0):
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    return CameraInfo(camera_intrinsics=K, camera_height=h, camera_width=w)
+
+
+def random_scene(n, seed=0, alpha=2.0):
+    rng = np.random.default_rng(seed)
+    pc = np.concatenate([
+        rng.uniform(-0.8, 0.8, (n, 2)),
+        rng.uniform(1.0, 4.0, (n, 1)),
+    ], axis=1).astype(np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    q = rng.normal(size=(n, 4))
+    feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    feats[:, 4:7] = rng.uniform(-2.5, -1.0, (n, 3))
+    feats[:, 7] = alpha + rng.normal(size=n)
+    feats[:, 8:56] = 0.3 * rng.normal(size=(n, 48))
+    feats[:, 8] += 1.0
+    feats[:, 24] += 0.5
+    return pc, feats
+
+
+CONFIG = RasterizerConfig(near_plane=0.1, far_plane=100.0,
+                          max_keys=1024, max_tiles_per_point=32, chunk=128)
+
+
+def render_both(pc, feats, cam, seed_invalid=None):
+    n = pc.shape[0]
+    invalid = np.zeros((n,), np.int8)
+    if seed_invalid is not None:
+        rng = np.random.default_rng(seed_invalid)
+        invalid[rng.random(n) < 0.2] = 1
+    obj = jnp.zeros((n,), jnp.int32)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+
+    result = rasterize(jnp.array(pc), jnp.array(feats), jnp.array(invalid),
+                       obj, q_cam, t_cam, cam, CONFIG)
+
+    # oracle path shares projection+binning code, blend is independent
+    attrs = compute_point_attributes(
+        jnp.array(pc), jnp.array(feats), jnp.array(invalid), obj,
+        *__import__("taichi_3d_gaussian_splatting_tpu.ops.transforms",
+                    fromlist=["inverse_SE3_qt"]).inverse_SE3_qt(q_cam, t_cam),
+        t_cam, cam, CONFIG.near_plane, CONFIG.far_plane)
+    binning = tiling.bin_points_to_tiles(
+        attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum, cam,
+        depth_to_sort_key_scale=CONFIG.depth_to_sort_key_scale,
+        max_keys=CONFIG.max_keys,
+        max_tiles_per_point=CONFIG.max_tiles_per_point)
+    oracle = blend_reference(
+        binning.sorted_point_idx, binning.sorted_tile_id, binning.sorted_valid,
+        attrs.uv, attrs.conic_and_rescale, attrs.alpha_after_activation,
+        attrs.color, attrs.xyz_camera[:, 2], cam)
+    return result, oracle
+
+
+def test_forward_matches_oracle_random_scene():
+    cam = make_camera()
+    pc, feats = random_scene(60, seed=1)
+    result, oracle = render_both(pc, feats, cam)
+    np.testing.assert_allclose(np.asarray(result.image),
+                               np.asarray(oracle.image), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(result.depth),
+                               np.asarray(oracle.depth), atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(result.pixel_valid_point_count),
+        np.asarray(oracle.valid_point_count))
+    np.testing.assert_allclose(
+        np.asarray(result.aux.pixel_accumulated_alpha),
+        np.asarray(oracle.accumulated_alpha), atol=2e-5)
+
+
+def test_forward_matches_oracle_with_saturation():
+    cam = make_camera()
+    pc, feats = random_scene(120, seed=2, alpha=7.0)  # near-opaque stack
+    result, oracle = render_both(pc, feats, cam)
+    np.testing.assert_allclose(np.asarray(result.image),
+                               np.asarray(oracle.image), atol=3e-5)
+    np.testing.assert_array_equal(
+        np.asarray(result.pixel_valid_point_count),
+        np.asarray(oracle.valid_point_count))
+
+
+def test_forward_matches_oracle_with_invalid_points():
+    cam = make_camera()
+    pc, feats = random_scene(80, seed=3)
+    result, oracle = render_both(pc, feats, cam, seed_invalid=4)
+    np.testing.assert_allclose(np.asarray(result.image),
+                               np.asarray(oracle.image), atol=2e-5)
+
+
+def test_forward_chunk_boundaries():
+    # more keys than one chunk per tile: exercises the chunk loop + carries
+    cam = make_camera(16, 16)
+    pc, feats = random_scene(400, seed=5, alpha=-1.0)  # translucent: no sat
+    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_keys=2048,
+                           max_tiles_per_point=16, chunk=128)
+    n = pc.shape[0]
+    obj = jnp.zeros((n,), jnp.int32)
+    inv = jnp.zeros((n,), jnp.int8)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+    result = rasterize(jnp.array(pc), jnp.array(feats), inv, obj, q_cam,
+                       t_cam, cam, cfg)
+
+    from taichi_3d_gaussian_splatting_tpu.ops.transforms import inverse_SE3_qt
+    attrs = compute_point_attributes(
+        jnp.array(pc), jnp.array(feats), inv, obj,
+        *inverse_SE3_qt(q_cam, t_cam), t_cam, cam, 0.1, 100.0)
+    binning = tiling.bin_points_to_tiles(
+        attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum, cam,
+        max_keys=2048, max_tiles_per_point=16)
+    assert int(binning.tile_starts[0]) % 128 != 0 or True  # smoke layout
+    oracle = blend_reference(
+        binning.sorted_point_idx, binning.sorted_tile_id, binning.sorted_valid,
+        attrs.uv, attrs.conic_and_rescale, attrs.alpha_after_activation,
+        attrs.color, attrs.xyz_camera[:, 2], cam)
+    np.testing.assert_allclose(np.asarray(result.image),
+                               np.asarray(oracle.image), atol=5e-5)
+    np.testing.assert_array_equal(
+        np.asarray(result.pixel_valid_point_count),
+        np.asarray(oracle.valid_point_count))
+
+
+def _oracle_loss_grads(pc, feats, cam, g_seed=7):
+    """Gradients of sum(g * image) via jax AD through the scan oracle."""
+    n = pc.shape[0]
+    rng = np.random.default_rng(g_seed)
+    g_img = jnp.array(rng.normal(size=(cam.camera_height, cam.camera_width, 3))
+                      .astype(np.float32))
+    obj = jnp.zeros((n,), jnp.int32)
+    inv = jnp.zeros((n,), jnp.int8)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+    from taichi_3d_gaussian_splatting_tpu.ops.transforms import inverse_SE3_qt
+
+    def loss(pc_j, feats_j):
+        attrs = compute_point_attributes(
+            pc_j, feats_j, inv, obj, *inverse_SE3_qt(q_cam, t_cam), t_cam,
+            cam, CONFIG.near_plane, CONFIG.far_plane)
+        binning = tiling.bin_points_to_tiles(
+            attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum,
+            cam, depth_to_sort_key_scale=CONFIG.depth_to_sort_key_scale,
+            max_keys=CONFIG.max_keys,
+            max_tiles_per_point=CONFIG.max_tiles_per_point)
+        out = blend_reference(
+            binning.sorted_point_idx, binning.sorted_tile_id,
+            binning.sorted_valid, attrs.uv, attrs.conic_and_rescale,
+            attrs.alpha_after_activation, attrs.color,
+            attrs.xyz_camera[:, 2], cam)
+        return jnp.sum(out.image * g_img)
+
+    gp, gf = jax.grad(loss, argnums=(0, 1))(jnp.array(pc), jnp.array(feats))
+    return g_img, np.asarray(gp), np.asarray(gf)
+
+
+def _pallas_grads_via_grad(pc, feats, cam, g_img):
+    n = pc.shape[0]
+    obj = jnp.zeros((n,), jnp.int32)
+    inv = jnp.zeros((n,), jnp.int8)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+
+    def loss(pc_j, feats_j):
+        result = rasterize(pc_j, feats_j, inv, obj, q_cam, t_cam, cam, CONFIG)
+        return jnp.sum(result.image * g_img)
+
+    gp, gf = jax.grad(loss, argnums=(0, 1))(jnp.array(pc), jnp.array(feats))
+    return np.asarray(gp), np.asarray(gf)
+
+
+def test_backward_matches_oracle_autodiff():
+    cam = make_camera(16, 16)
+    pc, feats = random_scene(40, seed=6)
+    g_img, gp_o, gf_o = _oracle_loss_grads(pc, feats, cam)
+    gp_p, gf_p = _pallas_grads_via_grad(pc, feats, cam, g_img)
+    np.testing.assert_allclose(gp_p, gp_o, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(gf_p, gf_o, rtol=2e-3, atol=2e-5)
+
+
+def test_backward_matches_oracle_with_saturation():
+    cam = make_camera(16, 16)
+    pc, feats = random_scene(100, seed=8, alpha=6.0)
+    g_img, gp_o, gf_o = _oracle_loss_grads(pc, feats, cam, g_seed=9)
+    gp_p, gf_p = _pallas_grads_via_grad(pc, feats, cam, g_img)
+    np.testing.assert_allclose(gp_p, gp_o, rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(gf_p, gf_o, rtol=5e-3, atol=5e-5)
+
+
+def test_rasterize_with_vjp_matches_jax_grad_and_stats():
+    cam = make_camera(16, 16)
+    pc, feats = random_scene(40, seed=10)
+    n = pc.shape[0]
+    rng = np.random.default_rng(11)
+    g_img = jnp.array(rng.normal(size=(16, 16, 3)).astype(np.float32))
+    obj = jnp.zeros((n,), jnp.int32)
+    inv = jnp.zeros((n,), jnp.int8)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+
+    result, vjp_fn = rasterize_with_vjp(
+        jnp.array(pc), jnp.array(feats), inv, obj, q_cam, t_cam, cam, CONFIG)
+    gp_e, gf_e, stats = vjp_fn(g_img)
+
+    gp_g, gf_g = _pallas_grads_via_grad(pc, feats, cam, g_img)
+    np.testing.assert_allclose(np.asarray(gp_e), gp_g, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gf_e), gf_g, rtol=1e-5, atol=1e-7)
+
+    # stats sanity: affected pixels only for in-frustum points, magnitudes
+    # finite and nonnegative
+    npix = np.asarray(stats.num_affected_pixels)
+    infr = np.asarray(result.aux.in_frustum)
+    assert (npix[~infr] == 0).all()
+    assert npix.sum() > 0
+    mag = np.asarray(stats.magnitude_grad_viewspace)
+    assert (mag >= 0).all() and np.isfinite(mag).all()
+    mag_img = np.asarray(stats.magnitude_grad_viewspace_on_image)
+    assert mag_img.shape == (16, 16, 2)
+    assert (mag_img >= 0).all()
+
+
+def test_empty_scene_renders_zeros():
+    cam = make_camera(16, 16)
+    n = 4
+    pc = np.zeros((n, 3), np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    inv = np.ones((n,), np.int8)  # all invalid
+    result = rasterize(jnp.array(pc), jnp.array(feats), jnp.array(inv),
+                       jnp.zeros((n,), jnp.int32),
+                       jnp.array([[0.0, 0.0, 0.0, 1.0]]), jnp.zeros((1, 3)),
+                       cam, CONFIG)
+    assert float(jnp.abs(result.image).max()) == 0.0
+    assert int(result.aux.total_keys) == 0
