@@ -14,9 +14,9 @@ scatter) maps to TPU as:
   on VPU sublanes, and walks its depth-sorted key segment in CHUNK-column
   slabs DMA'd from HBM to VMEM (the VMEM staging replaces CUDA shared memory).
 - the inherently sequential transmittance recursion is *vectorized across the
-  chunk* with a log-space prefix-sum: T_i = T_carry * exp(sum_{j<i}
-  log(1-a_j)), computed as an exact-f32 Hillis-Steele lane scan on the VPU
-  (log2(CHUNK) roll+add steps). Saturation (T < 1e-4 stop, reference: :457-460) becomes a
+  chunk* with a prefix-product: T_i = T_carry * prod_{j<i} (1-a_j), computed
+  as an f32 Hillis-Steele lane scan on the VPU (log2(CHUNK) roll+multiply
+  steps, no transcendentals). Saturation (T < 1e-4 stop, reference: :457-460) becomes a
   cumulative-or along the chunk plus a carried latch, reproducing the exact
   "saturating point does not contribute" semantics.
 - color/depth/weight accumulation and the backward's per-point reductions are
@@ -88,25 +88,48 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _shift_right_lanes(x, k, interpret):
-    """Shift columns right by k, filling zeros (no wraparound)."""
+def _shift_right_lanes(x, k, fill, interpret):
+    """Shift columns right by k, filling `fill` (no wraparound)."""
     rolled = jnp.roll(x, k, 1) if interpret else pltpu.roll(x, k, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane < k, 0.0, rolled)
+    return jnp.where(lane < k, fill, rolled)
 
 
 def _lane_cumsum_exclusive(x, interpret=False):
-    """Exact f32 exclusive prefix sum along axis 1 (lanes).
-
-    Hillis-Steele doubling scan on the VPU: log2(C) roll+add steps. Replaces
-    a triangular MXU matmul, which would round operands to bf16 and lose the
-    ~1e-3 of precision that log-space transmittance accumulation needs.
-    """
+    """Exclusive prefix sum along axis 1 (lanes): Hillis-Steele doubling scan
+    on the VPU, log2(C) roll+add steps, exact f32."""
     c = x.shape[1]
-    acc = _shift_right_lanes(x, 1, interpret)
+    acc = _shift_right_lanes(x, 1, 0.0, interpret)
     k = 1
     while k < c:
-        acc = acc + _shift_right_lanes(acc, k, interpret)
+        acc = acc + _shift_right_lanes(acc, k, 0.0, interpret)
+        k *= 2
+    return acc
+
+
+def _lane_prod(x):
+    """Row-wise product over lanes via a halving tree of exact f32 multiplies
+    (Mosaic has no reduce_prod lowering)."""
+    c = x.shape[1]
+    while c > 1:
+        c //= 2
+        x = x[:, :c] * x[:, c:2 * c]
+    return x  # (rows, 1)
+
+
+def _lane_cumprod_exclusive(x, interpret=False):
+    """Exclusive prefix *product* along lanes.
+
+    Used for the transmittance recursion T_i = T * prod_{j<i} (1 - a_j):
+    pure IEEE f32 multiplies (no log/exp), so results are reproducible across
+    interpret/compiled backends and the 1e-4 saturation threshold
+    (reference: :457-460) doesn't flip on transcendental rounding.
+    """
+    c = x.shape[1]
+    acc = _shift_right_lanes(x, 1, 1.0, interpret)
+    k = 1
+    while k < c:
+        acc = acc * _shift_right_lanes(acc, k, 1.0, interpret)
         k *= 2
     return acc
 
@@ -175,13 +198,12 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
 
         a_exp, a_v, _, _, gidx = _chunk_alpha(
             data, px, py, start, end, col0, chunk)
-        log_one_minus = jnp.log1p(-a_v)                      # (256, chunk)
+        one_minus = 1.0 - a_v                                # (256, chunk)
         positive = (a_v > 0.0).astype(jnp.float32)
 
-        # exact f32 prefix scans along the chunk (VPU doubling scan)
-        cum_excl = _lane_cumsum_exclusive(log_one_minus, interpret)
-        T_i = T * jnp.exp(cum_excl)                          # (256, chunk)
-        sat_i = positive * (T_i * (1.0 - a_v) <
+        # prefix scans along the chunk (VPU doubling scans)
+        T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
+        sat_i = positive * (T_i * one_minus <
                             TRANSMITTANCE_SATURATION).astype(jnp.float32)
         sat_incl = _lane_cumsum_exclusive(sat_i, interpret) + sat_i
         contribute = positive * (sat_incl < 0.5) * (1.0 - sat)  # (256, chunk)
@@ -194,8 +216,7 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
             precision=jax.lax.Precision.HIGHEST)              # (256, 8)
 
         # transmittance advances only on contribution (reference: :470)
-        T = T * jnp.exp(jnp.sum(contribute * log_one_minus, axis=1,
-                                keepdims=True))
+        T = T * _lane_prod(jnp.where(contribute > 0.0, one_minus, 1.0))
         eff = jnp.max(contribute * (gidx + 1).astype(jnp.float32),
                       axis=1, keepdims=True)
         last_eff = jnp.maximum(last_eff, eff)
@@ -305,12 +326,11 @@ def _backward_kernel(starts_ref, ends_ref,
 
         a_exp, a_v, dx, dy, _ = _chunk_alpha(
             data, px, py, start, end, col0, chunk)
-        log_one_minus = jnp.log1p(-a_v)
+        one_minus = 1.0 - a_v
         positive = (a_v > 0.0).astype(jnp.float32)
 
-        cum_excl = _lane_cumsum_exclusive(log_one_minus, interpret)
-        T_i = T * jnp.exp(cum_excl)
-        sat_i = positive * (T_i * (1.0 - a_v) <
+        T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
+        sat_i = positive * (T_i * one_minus <
                             TRANSMITTANCE_SATURATION).astype(jnp.float32)
         sat_incl = _lane_cumsum_exclusive(sat_i, interpret) + sat_i
         contribute = positive * (sat_incl < 0.5) * (1.0 - sat)
@@ -365,10 +385,9 @@ def _backward_kernel(starts_ref, ends_ref,
         gy = G * (cc * dy + cb * dx)
         mag_pt = jnp.sum(jnp.sqrt(gx * gx + gy * gy), axis=0, keepdims=True)
         npix = jnp.sum(contribute, axis=0, keepdims=True)
-        mag_img = mag_img.at[:, 0:1].add(
-            jnp.sum(jnp.abs(gx), axis=1, keepdims=True))
-        mag_img = mag_img.at[:, 1:2].add(
-            jnp.sum(jnp.abs(gy), axis=1, keepdims=True))
+        mag_img = mag_img + jnp.concatenate(
+            [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
+             jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1)
 
         zeros = jnp.zeros_like(du)
         grad_slab = jnp.concatenate([
@@ -391,8 +410,7 @@ def _backward_kernel(starts_ref, ends_ref,
         wcopy.wait()
 
         # advance carries
-        T = T * jnp.exp(jnp.sum(contribute * log_one_minus, axis=1,
-                                keepdims=True))
+        T = T * _lane_prod(jnp.where(contribute > 0.0, one_minus, 1.0))
         Pg = Pg + jnp.sum(u_map, axis=1, keepdims=True)
         sat = jnp.maximum(sat, jnp.max(sat_i, axis=1, keepdims=True))
         return (i + 1, T, sat, Pg, mag_img)
@@ -405,8 +423,8 @@ def _backward_kernel(starts_ref, ends_ref,
         jnp.zeros((PIXELS_PER_TILE, 2), jnp.float32),
     )
     _, _, _, _, mag_img = jax.lax.while_loop(cond, body, init)
-    out = jnp.zeros((PIXELS_PER_TILE, 8), jnp.float32)
-    mag_ref[0, :, :] = out.at[:, 0:2].set(mag_img)
+    mag_ref[0, :, :] = jnp.concatenate(
+        [mag_img, jnp.zeros((PIXELS_PER_TILE, 6), jnp.float32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "tiles_per_row",

@@ -45,8 +45,8 @@ def project_points(xyz, T_camera_world, intrinsics):
     """
     R = T_camera_world[..., :3, :3]
     t = T_camera_world[..., :3, 3]
-    xyz_cam = jnp.einsum("...ij,...j->...i", R, xyz) + t
-    uv1 = jnp.einsum("ij,...j->...i", intrinsics, xyz_cam) / xyz_cam[..., 2:3]
+    xyz_cam = jnp.einsum("...ij,...j->...i", R, xyz, precision="highest") + t
+    uv1 = jnp.einsum("ij,...j->...i", intrinsics, xyz_cam, precision="highest") / xyz_cam[..., 2:3]
     return uv1[..., :2], xyz_cam
 
 
@@ -70,7 +70,7 @@ def covariance_3d(q, log_s):
     R = rotation_matrix_from_quaternion(q)
     s2 = jnp.exp(2.0 * log_s)
     # R @ diag(s^2) @ R^T
-    return jnp.einsum("...ik,...k,...jk->...ij", R, s2, R)
+    return jnp.einsum("...ik,...k,...jk->...ij", R, s2, R, precision="highest")
 
 
 def project_covariance(q, log_s, T_camera_world, intrinsics, xyz_cam):
@@ -78,8 +78,8 @@ def project_covariance(q, log_s, T_camera_world, intrinsics, xyz_cam):
     J = projective_transform_jacobian(intrinsics, xyz_cam)
     W = T_camera_world[..., :3, :3]
     Sigma = covariance_3d(q, log_s)
-    JW = jnp.einsum("...ij,...jk->...ik", J, W)
-    return jnp.einsum("...ij,...jk,...lk->...il", JW, Sigma, JW)
+    JW = jnp.einsum("...ij,...jk->...ik", J, W, precision="highest")
+    return jnp.einsum("...ij,...jk,...lk->...il", JW, Sigma, JW, precision="highest")
 
 
 def conic_and_rescale(cov_uv):
@@ -141,7 +141,7 @@ def ellipsoid_foci_vector(q, log_s):
     base = jnp.where(base_y[..., None], ey,
                      jnp.where(base_z[..., None], ez, ex))
     R = rotation_matrix_from_quaternion(q)
-    base = jnp.einsum("...ij,...j->...i", R, base)
+    base = jnp.einsum("...ij,...j->...i", R, base, precision="highest")
     s = jnp.exp(log_s)
     r_c = jnp.max(s, axis=-1)
     r_a = jnp.min(s, axis=-1)
@@ -155,4 +155,4 @@ def sample_from_gaussian(key, xyz, q, log_s):
     z = jax.random.normal(key, xyz.shape, dtype=xyz.dtype)
     R = rotation_matrix_from_quaternion(q)
     s = jnp.exp(log_s)
-    return xyz + jnp.einsum("...ij,...j->...i", R, s * z)
+    return xyz + jnp.einsum("...ij,...j->...i", R, s * z, precision="highest")

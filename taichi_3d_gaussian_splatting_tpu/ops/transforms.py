@@ -79,7 +79,7 @@ def inverse_SE3(transform):
     """Invert 4x4 SE(3) matrices (reference: utils.py:386-393, 495-510)."""
     R_T = jnp.swapaxes(transform[..., :3, :3], -1, -2)
     t = transform[..., :3, 3]
-    t_inv = -jnp.einsum("...ij,...j->...i", R_T, t)
+    t_inv = -jnp.einsum("...ij,...j->...i", R_T, t, precision="highest")
     top = jnp.concatenate([R_T, t_inv[..., :, None]], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=transform.dtype),
