@@ -1,0 +1,99 @@
+"""Benchmark: render FPS at the reference's benchmark resolution.
+
+Mirrors the reference inference benchmark protocol
+(reference: benchmark/inference_benchmark.py:109-160 - warmup iterations then
+timed iterations at 976x544) on one TPU chip. Loads a scene parquet/PLY from
+$BENCH_SCENE if provided, otherwise a synthetic Truck-scale scene (430k
+points, matching the point count of the reference's published 30k-iteration
+checkpoint, reference: README.md:66).
+
+Baseline: 63.1 FPS = 15.84 ms, the reference's optimized "simple gen_tile"
+pipeline on an RTX 3090 at the same resolution and point count
+(reference: benchmark/README.md:24-30).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FPS = 63.1  # reference: benchmark/README.md:24 (15.84 ms)
+
+
+def load_scene():
+    import jax.numpy as jnp
+    path = os.environ.get("BENCH_SCENE", "")
+    if path:
+        from taichi_3d_gaussian_splatting_tpu.models.scene import (
+            GaussianPointCloudScene)
+        if path.endswith(".ply"):
+            scene = GaussianPointCloudScene.from_ply(path)
+        else:
+            scene = GaussianPointCloudScene.from_parquet(path)
+        return scene.point_cloud, scene.point_cloud_features
+    n = 430_000  # reference Truck 30k checkpoint size (README.md:66)
+    rng = np.random.default_rng(0)
+    pc = np.stack([rng.uniform(-30, 30, n), rng.uniform(-20, 20, n),
+                   rng.uniform(2, 60, n)], 1).astype(np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    q = rng.normal(size=(n, 4))
+    feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    feats[:, 4:7] = rng.uniform(-3.5, -2.0, (n, 3))
+    feats[:, 7] = rng.normal(size=n)
+    feats[:, 8] = rng.normal(size=n)
+    feats[:, 24] = rng.normal(size=n)
+    feats[:, 40] = rng.normal(size=n)
+    return jnp.array(pc), jnp.array(feats)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        RasterizerConfig, rasterize)
+
+    h, w = 544, 976  # reference render resolution cropped to tile multiples
+    intr = np.array([[581.7, 0, w / 2], [0, 581.7, h / 2], [0, 0, 1]],
+                    np.float32)
+    cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
+    cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
+                           max_keys=2 ** 21, max_tiles_per_point=64,
+                           rgb_only=True)
+
+    pc, feats = load_scene()
+    n = pc.shape[0]
+    invalid = jnp.zeros((n,), jnp.int8)
+    obj = jnp.zeros((n,), jnp.int32)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+
+    fwd = jax.jit(lambda p, f: rasterize(
+        p, f, invalid, obj, q_cam, t_cam, cam, cfg).image)
+    # warmup (compile + cache)
+    img = fwd(pc, feats)
+    img.block_until_ready()
+    for _ in range(10):
+        img = fwd(pc, feats)
+    img.block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = fwd(pc, feats)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "render_fps_976x544_430k_points",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,21 @@ NUM_FEATURES = 56
 COV_LOW_PASS = 0.3
 
 
+def _mat3_vec(R, v):
+    """Batched 3x3 @ 3 as hand-expanded elementwise ops.
+
+    XLA would otherwise lower batched tiny matmuls onto the MXU with massive
+    padding (measured ~30x slower at N=4e5); component form runs on the VPU
+    at memory bandwidth.
+    """
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        R[..., 0, 0] * x + R[..., 0, 1] * y + R[..., 0, 2] * z,
+        R[..., 1, 0] * x + R[..., 1, 1] * y + R[..., 1, 2] * z,
+        R[..., 2, 0] * x + R[..., 2, 1] * y + R[..., 2, 2] * z,
+    ], axis=-1)
+
+
 def project_points(xyz, T_camera_world, intrinsics):
     """World points (..., 3) -> (uv (..., 2), xyz_camera (..., 3)).
 
@@ -45,9 +60,13 @@ def project_points(xyz, T_camera_world, intrinsics):
     """
     R = T_camera_world[..., :3, :3]
     t = T_camera_world[..., :3, 3]
-    xyz_cam = jnp.einsum("...ij,...j->...i", R, xyz, precision="highest") + t
-    uv1 = jnp.einsum("ij,...j->...i", intrinsics, xyz_cam, precision="highest") / xyz_cam[..., 2:3]
-    return uv1[..., :2], xyz_cam
+    xyz_cam = _mat3_vec(R, xyz) + t
+    x, y, z = xyz_cam[..., 0], xyz_cam[..., 1], xyz_cam[..., 2]
+    u = (intrinsics[0, 0] * x + intrinsics[0, 1] * y
+         + intrinsics[0, 2] * z) / z
+    v = (intrinsics[1, 0] * x + intrinsics[1, 1] * y
+         + intrinsics[1, 2] * z) / z
+    return jnp.stack([u, v], axis=-1), xyz_cam
 
 
 def projective_transform_jacobian(intrinsics, xyz_cam):
@@ -69,17 +88,58 @@ def covariance_3d(q, log_s):
     (reference: GaussianPoint3D.py:174-182)."""
     R = rotation_matrix_from_quaternion(q)
     s2 = jnp.exp(2.0 * log_s)
-    # R @ diag(s^2) @ R^T
-    return jnp.einsum("...ik,...k,...jk->...ij", R, s2, R, precision="highest")
+    M = R * s2[..., None, :]  # R @ diag(s^2)
+    # Sigma = M @ R^T, expanded per entry
+    return jnp.stack([
+        jnp.stack([jnp.sum(M[..., 0, :] * R[..., 0, :], -1),
+                   jnp.sum(M[..., 0, :] * R[..., 1, :], -1),
+                   jnp.sum(M[..., 0, :] * R[..., 2, :], -1)], -1),
+        jnp.stack([jnp.sum(M[..., 1, :] * R[..., 0, :], -1),
+                   jnp.sum(M[..., 1, :] * R[..., 1, :], -1),
+                   jnp.sum(M[..., 1, :] * R[..., 2, :], -1)], -1),
+        jnp.stack([jnp.sum(M[..., 2, :] * R[..., 0, :], -1),
+                   jnp.sum(M[..., 2, :] * R[..., 1, :], -1),
+                   jnp.sum(M[..., 2, :] * R[..., 2, :], -1)], -1),
+    ], axis=-2)
 
 
 def project_covariance(q, log_s, T_camera_world, intrinsics, xyz_cam):
-    """EWA-projected 2x2 covariance (reference: GaussianPoint3D.py:161-191)."""
-    J = projective_transform_jacobian(intrinsics, xyz_cam)
+    """EWA-projected 2x2 covariance (reference: GaussianPoint3D.py:161-191).
+
+    Computed as P P^T with P = (J W) (R S): hand-expanded elementwise ops on
+    the VPU instead of batched tiny matmuls (see _mat3_vec note).
+    """
     W = T_camera_world[..., :3, :3]
-    Sigma = covariance_3d(q, log_s)
-    JW = jnp.einsum("...ij,...jk->...ik", J, W, precision="highest")
-    return jnp.einsum("...ij,...jk,...lk->...il", JW, Sigma, JW, precision="highest")
+    R = rotation_matrix_from_quaternion(q)
+    s = jnp.exp(log_s)
+    M = R * s[..., None, :]        # (..., 3, 3) = R @ diag(s)
+
+    fx = intrinsics[0, 0]
+    fy = intrinsics[1, 1]
+    x, y, z = xyz_cam[..., 0], xyz_cam[..., 1], xyz_cam[..., 2]
+    inv_z = 1.0 / z
+    # J rows (reference jacobian, GaussianPoint3D.py:65-87):
+    # [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]
+    j00 = fx * inv_z
+    j02 = -fx * x * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * y * inv_z * inv_z
+    # JW rows: JW[0,k] = j00 W[0,k] + j02 W[2,k]; JW[1,k] = j11 W[1,k] + j12 W[2,k]
+    jw0 = j00[..., None] * W[..., 0, :] + j02[..., None] * W[..., 2, :]
+    jw1 = j11[..., None] * W[..., 1, :] + j12[..., None] * W[..., 2, :]
+    # P = JW @ M, rows (..., 3)
+    p0 = jnp.stack([jnp.sum(jw0 * M[..., :, 0], -1),
+                    jnp.sum(jw0 * M[..., :, 1], -1),
+                    jnp.sum(jw0 * M[..., :, 2], -1)], -1)
+    p1 = jnp.stack([jnp.sum(jw1 * M[..., :, 0], -1),
+                    jnp.sum(jw1 * M[..., :, 1], -1),
+                    jnp.sum(jw1 * M[..., :, 2], -1)], -1)
+    a = jnp.sum(p0 * p0, -1)
+    b = jnp.sum(p0 * p1, -1)
+    c = jnp.sum(p1 * p1, -1)
+    row0 = jnp.stack([a, b], -1)
+    row1 = jnp.stack([b, c], -1)
+    return jnp.stack([row0, row1], axis=-2)
 
 
 def conic_and_rescale(cov_uv):
@@ -141,7 +201,7 @@ def ellipsoid_foci_vector(q, log_s):
     base = jnp.where(base_y[..., None], ey,
                      jnp.where(base_z[..., None], ez, ex))
     R = rotation_matrix_from_quaternion(q)
-    base = jnp.einsum("...ij,...j->...i", R, base, precision="highest")
+    base = _mat3_vec(R, base)
     s = jnp.exp(log_s)
     r_c = jnp.max(s, axis=-1)
     r_a = jnp.min(s, axis=-1)
@@ -155,4 +215,4 @@ def sample_from_gaussian(key, xyz, q, log_s):
     z = jax.random.normal(key, xyz.shape, dtype=xyz.dtype)
     R = rotation_matrix_from_quaternion(q)
     s = jnp.exp(log_s)
-    return xyz + jnp.einsum("...ij,...j->...i", R, s * z, precision="highest")
+    return xyz + _mat3_vec(R, s * z)
