@@ -61,7 +61,7 @@ def main():
                     np.float32)
     cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
     cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
-                           max_keys=2 ** 21, max_tiles_per_point=64,
+                           max_tiles_per_point=32,
                            rgb_only=True)
 
     pc, feats = load_scene()

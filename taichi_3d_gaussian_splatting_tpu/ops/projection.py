@@ -5,17 +5,22 @@ differentiable jnp stage operating on the full fixed-capacity point pool:
 - `filter_point_in_camera` (reference: GaussianPointCloudRasterisation.py:31-78)
 - `generate_point_attributes_in_camera_plane` (reference: :239-315)
 
-Instead of compacting visible points to a dynamic-size list with boolean
-indexing (reference: :861-870), we keep everything N-sized and carry an
-`in_frustum` mask: XLA requires static shapes, and the per-point math is cheap
-enough that masked lanes cost less than a host round-trip for compaction.
+Layout discipline (the reason this file is written the way it is): TPU
+arrays are tiled (8, 128) on their two minor dims, so an (N, 3, 3) rotation
+matrix array physically occupies ~4 KB *per point* and an (N, 2) array pads
+its lane dim 64x. Materializing per-point matrices costs gigabytes of HBM
+traffic at N ~ 4e5 (measured ~45 ms for this stage before the rewrite).
+Everything here is therefore structure-of-arrays: per-point quantities live
+in 1-D (N,) arrays (lane-major, no padding), the per-object camera matrices
+stay (K, .) and are gathered componentwise, and the output is a NamedTuple
+of (N,) columns.
 
 Gradient semantics for the stored quaternion follow the reference: the
 quaternion is normalized on read, gradients are computed with respect to the
 *normalized* value (the reference normalizes the parameter tensor in place
-during forward, reference: :197-205,264, then differentiates treating it as
-unit-norm). We reproduce this with a straight-through normalization plus
-explicit parameter renormalization in the train step.
+during forward, reference: :197-205,264). We reproduce this with a
+straight-through normalization plus explicit parameter renormalization in
+the train step.
 """
 
 from __future__ import annotations
@@ -26,35 +31,52 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import CameraInfo, TILE_WIDTH, TILE_HEIGHT, BOUNDARY_TILES
-from . import gaussian as G
-from . import sh
+from .gaussian import COV_LOW_PASS
 from .transforms import (
-    transform_matrix_from_quaternion_and_translation,
     quaternion_normalize,
+    rotation_matrix_from_quaternion,
 )
 
 
 class PointAttributes(NamedTuple):
-    """Per-point 2D attributes, all N-sized (invalid lanes masked)."""
-    uv: jnp.ndarray                 # (N, 2)
-    xyz_camera: jnp.ndarray         # (N, 3)
-    conic_and_rescale: jnp.ndarray  # (N, 4) a, b, c, rescale
-    alpha_after_activation: jnp.ndarray  # (N,) sigmoid(alpha logit)
-    color: jnp.ndarray              # (N, 3) sigmoid(SH eval)
-    radii: jnp.ndarray              # (N,)
+    """Per-point 2D attributes as (N,) columns (invalid lanes masked)."""
+    u: jnp.ndarray
+    v: jnp.ndarray
+    depth: jnp.ndarray              # camera-space z
+    conic_a: jnp.ndarray
+    conic_b: jnp.ndarray
+    conic_c: jnp.ndarray
+    rescale: jnp.ndarray            # low-pass density rescale (stop-grad)
+    alpha_after_activation: jnp.ndarray
+    color_r: jnp.ndarray
+    color_g: jnp.ndarray
+    color_b: jnp.ndarray
+    radii: jnp.ndarray
     in_frustum: jnp.ndarray         # (N,) bool
 
+    # ---- convenience views (materialize small stacked arrays on demand;
+    # used by tests / the jnp oracle, not the hot path) ----
+    @property
+    def uv(self):
+        return jnp.stack([self.u, self.v], axis=-1)
 
-def normalize_straight_through(q):
-    """Value = q/|q|, jacobian = diag(1/|q|) (identity when already unit).
+    @property
+    def conic_and_rescale(self):
+        return jnp.stack([self.conic_a, self.conic_b, self.conic_c,
+                          self.rescale], axis=-1)
 
-    Matches the reference's grad-wrt-normalized-quaternion shortcut
-    (reference: GaussianPointCloudRasterisation.py:197-205 +
-    GaussianPoint3D.py:237-331 which assume unit q).
-    """
-    inv_norm = jax.lax.stop_gradient(
-        1.0 / jnp.linalg.norm(q, axis=-1, keepdims=True))
-    return q * inv_norm
+    @property
+    def color(self):
+        return jnp.stack([self.color_r, self.color_g, self.color_b], axis=-1)
+
+
+def normalize_straight_through_columns(qx, qy, qz, qw):
+    """Value = q/|q| componentwise, jacobian = diag(1/|q|) (identity when
+    already unit) - the reference's grad-wrt-normalized-quaternion shortcut
+    (reference: GaussianPointCloudRasterisation.py:197-205)."""
+    inv = jax.lax.stop_gradient(
+        jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw))
+    return qx * inv, qy * inv, qz * inv, qw * inv
 
 
 def compute_point_attributes(
@@ -71,50 +93,150 @@ def compute_point_attributes(
     color_sh_mask=None,               # optional (16,) band curriculum mask
 ) -> PointAttributes:
     intrinsics = jnp.asarray(camera_info.camera_intrinsics, jnp.float32)
-    T_camera_world_per_obj = transform_matrix_from_quaternion_and_translation(
-        quaternion_normalize(q_camera_pointcloud), t_camera_pointcloud)  # (K,4,4)
-    T_camera_world = T_camera_world_per_obj[point_object_id]  # (N,4,4)
-    ray_origin = t_pointcloud_camera[point_object_id]         # (N,3)
+    fx = intrinsics[0, 0]
+    fy = intrinsics[1, 1]
+    cx = intrinsics[0, 2]
+    cy = intrinsics[1, 2]
 
-    q = normalize_straight_through(pointcloud_features[:, G.FEATURE_Q])
-    log_s = pointcloud_features[:, G.FEATURE_S]
-    alpha_logit = pointcloud_features[:, G.FEATURE_ALPHA]
+    # per-object camera rotation (K small; stays a (K, 3, 3) matrix)
+    R_obj = rotation_matrix_from_quaternion(
+        quaternion_normalize(q_camera_pointcloud))       # (K, 3, 3)
+    obj = point_object_id
+    # componentwise gathers: 12 cheap (N,) gathers from (K,) tables
+    w00, w01, w02 = (R_obj[:, 0, 0][obj], R_obj[:, 0, 1][obj],
+                     R_obj[:, 0, 2][obj])
+    w10, w11, w12 = (R_obj[:, 1, 0][obj], R_obj[:, 1, 1][obj],
+                     R_obj[:, 1, 2][obj])
+    w20, w21, w22 = (R_obj[:, 2, 0][obj], R_obj[:, 2, 1][obj],
+                     R_obj[:, 2, 2][obj])
+    tcx = t_camera_pointcloud[:, 0][obj]
+    tcy = t_camera_pointcloud[:, 1][obj]
+    tcz = t_camera_pointcloud[:, 2][obj]
+    ox = t_pointcloud_camera[:, 0][obj]
+    oy = t_pointcloud_camera[:, 1][obj]
+    oz = t_pointcloud_camera[:, 2][obj]
 
-    uv, xyz_cam = G.project_points(pointcloud, T_camera_world, intrinsics)
-    cov_uv = G.project_covariance(q, log_s, T_camera_world, intrinsics, xyz_cam)
-    conic = G.conic_and_rescale(cov_uv)
-    radii = G.point_radii(cov_uv)
-    alpha_act = jax.nn.sigmoid(alpha_logit)
+    # single transposes to lane-major; every later read is an (N,) row
+    pc_t = pointcloud.T                  # (3, N)
+    feats_t = pointcloud_features.T      # (56, N)
+    px, py, pz = pc_t[0], pc_t[1], pc_t[2]
 
-    # SH color along camera->point ray; direction left unnormalized here, the
-    # basis normalizes internally (reference: :302-308, GaussianPoint3D.py:333-349)
-    direction = pointcloud - ray_origin
-    basis = sh.sh_basis_from_direction(direction)  # (N, 16)
+    # ---- project position (reference: GaussianPoint3D.py:14-27) ----
+    xc = w00 * px + w01 * py + w02 * pz + tcx
+    yc = w10 * px + w11 * py + w12 * pz + tcy
+    zc = w20 * px + w21 * py + w22 * pz + tcz
+    inv_z = 1.0 / zc
+    u = fx * xc * inv_z + cx
+    v = fy * yc * inv_z + cy
+
+    # ---- quaternion (straight-through normalize) + rotation ----
+    qx, qy, qz_, qw = normalize_straight_through_columns(
+        feats_t[0], feats_t[1], feats_t[2], feats_t[3])
+    r00 = 1 - 2 * (qy * qy + qz_ * qz_)
+    r01 = 2 * (qx * qy - qw * qz_)
+    r02 = 2 * (qx * qz_ + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz_)
+    r11 = 1 - 2 * (qx * qx + qz_ * qz_)
+    r12 = 2 * (qy * qz_ - qw * qx)
+    r20 = 2 * (qx * qz_ - qw * qy)
+    r21 = 2 * (qy * qz_ + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    sx = jnp.exp(feats_t[4])
+    sy = jnp.exp(feats_t[5])
+    sz = jnp.exp(feats_t[6])
+    # M = R diag(s): columns scaled
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+
+    # ---- EWA covariance: cov2d = P P^T with P = (J W) M ----
+    # J rows (reference jacobian, GaussianPoint3D.py:65-87)
+    j00 = fx * inv_z
+    j02 = -fx * xc * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * yc * inv_z * inv_z
+    jw0x = j00 * w00 + j02 * w20
+    jw0y = j00 * w01 + j02 * w21
+    jw0z = j00 * w02 + j02 * w22
+    jw1x = j11 * w10 + j12 * w20
+    jw1y = j11 * w11 + j12 * w21
+    jw1z = j11 * w12 + j12 * w22
+    p00 = jw0x * m00 + jw0y * m10 + jw0z * m20
+    p01 = jw0x * m01 + jw0y * m11 + jw0z * m21
+    p02 = jw0x * m02 + jw0y * m12 + jw0z * m22
+    p10 = jw1x * m00 + jw1y * m10 + jw1z * m20
+    p11 = jw1x * m01 + jw1y * m11 + jw1z * m21
+    p12 = jw1x * m02 + jw1y * m12 + jw1z * m22
+    cov_a = p00 * p00 + p01 * p01 + p02 * p02
+    cov_b = p00 * p10 + p01 * p11 + p02 * p12
+    cov_c = p10 * p10 + p11 * p11 + p12 * p12
+
+    # ---- conic + low-pass rescale (reference: utils.py:258-272) ----
+    det_pre = cov_a * cov_c - cov_b * cov_b
+    fa = cov_a + COV_LOW_PASS
+    fc = cov_c + COV_LOW_PASS
+    det = fa * fc - cov_b * cov_b
+    rescale = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(0.0, det_pre / det)))
+    inv_det = 1.0 / det
+    conic_a = fc * inv_det
+    conic_b = -cov_b * inv_det
+    conic_c = fa * inv_det
+
+    # ---- radius = 3 sigma of major axis, from the UNFILTERED covariance
+    # (reference: GaussianPointCloudRasterisation.py:311-314) ----
+    large_eig = (cov_a + cov_c + jnp.sqrt(
+        (cov_a - cov_c) * (cov_a - cov_c) + 4.0 * cov_b * cov_b)) / 2.0
+    radii = jnp.sqrt(jnp.maximum(large_eig, 0.0)) * 3.0
+
+    alpha_act = jax.nn.sigmoid(feats_t[7])
+
+    # ---- SH color along camera->point ray (reference: :302-308) ----
+    dx = px - ox
+    dy = py - oy
+    dz = pz - oz
+    dn = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-37)
+    x, y, z = dx * dn, dy * dn, dz * dn
+    one = jnp.ones_like(x)
+    basis = [
+        0.28209479177387814 * one,
+        -0.48860251190291987 * y,
+        0.48860251190291987 * z,
+        -0.48860251190291987 * x,
+        1.0925484305920792 * x * y,
+        -1.0925484305920792 * y * z,
+        0.94617469575755997 * z * z - 0.31539156525251999,
+        -1.0925484305920792 * x * z,
+        0.54627421529603959 * (x * x - y * y),
+        0.59004358992664352 * y * (-3.0 * x * x + y * y),
+        2.8906114426405538 * x * y * z,
+        0.45704579946446572 * y * (1.0 - 5.0 * z * z),
+        0.3731763325901154 * z * (5.0 * z * z - 3.0),
+        0.45704579946446572 * x * (1.0 - 5.0 * z * z),
+        1.4453057213202769 * z * (x * x - y * y),
+        0.59004358992664352 * x * (-x * x + 3.0 * y * y),
+    ]
     if color_sh_mask is not None:
-        basis = basis * color_sh_mask
-    r = jnp.sum(pointcloud_features[:, G.FEATURE_R_SH] * basis, axis=-1)
-    g = jnp.sum(pointcloud_features[:, G.FEATURE_G_SH] * basis, axis=-1)
-    b = jnp.sum(pointcloud_features[:, G.FEATURE_B_SH] * basis, axis=-1)
-    color = jax.nn.sigmoid(jnp.stack([r, g, b], axis=-1))
+        basis = [b * color_sh_mask[i] for i, b in enumerate(basis)]
+    r_sum = sum(feats_t[8 + i] * basis[i] for i in range(16))
+    g_sum = sum(feats_t[24 + i] * basis[i] for i in range(16))
+    b_sum = sum(feats_t[40 + i] * basis[i] for i in range(16))
+    color_r = jax.nn.sigmoid(r_sum)
+    color_g = jax.nn.sigmoid(g_sum)
+    color_b = jax.nn.sigmoid(b_sum)
 
-    # Frustum test (reference: :72-78): strict near/far, uv within a
-    # 3-tile boundary around the image.
-    depth = xyz_cam[..., 2]
+    # ---- frustum test (reference: :72-78) ----
     bw = TILE_WIDTH * BOUNDARY_TILES
     bh = TILE_HEIGHT * BOUNDARY_TILES
-    in_frustum = ((depth > near_plane) & (depth < far_plane)
-                  & (uv[..., 0] >= -bw)
-                  & (uv[..., 0] < camera_info.camera_width + bw)
-                  & (uv[..., 1] >= -bh)
-                  & (uv[..., 1] < camera_info.camera_height + bh)
+    in_frustum = ((zc > near_plane) & (zc < far_plane)
+                  & (u >= -bw) & (u < camera_info.camera_width + bw)
+                  & (v >= -bh) & (v < camera_info.camera_height + bh)
                   & (point_invalid_mask.astype(jnp.int32) == 0))
 
     return PointAttributes(
-        uv=uv,
-        xyz_camera=xyz_cam,
-        conic_and_rescale=conic,
+        u=u, v=v, depth=zc,
+        conic_a=conic_a, conic_b=conic_b, conic_c=conic_c, rescale=rescale,
         alpha_after_activation=alpha_act,
-        color=color,
-        radii=radii,
-        in_frustum=in_frustum,
+        color_r=color_r, color_g=color_g, color_b=color_b,
+        radii=radii, in_frustum=in_frustum,
     )

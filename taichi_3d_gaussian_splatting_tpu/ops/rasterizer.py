@@ -57,9 +57,11 @@ class RasterizerConfig:
     grad_s_factor: float = 0.5
     grad_q_factor: float = 1.0
     grad_alpha_factor: float = 20.0
-    # TPU static-shape budgets (overflow is counted, never silent)
-    max_keys: int = 2 ** 21
-    max_tiles_per_point: int = 64
+    # TPU static-shape budgets (overflow is counted, never silent):
+    # tier-B slot budget for big splats and the big-point pool size
+    # (see ops/tiling.py)
+    max_tiles_per_point: int = 32
+    big_point_divisor: int = 8
     chunk: int = 128
 
 
@@ -71,7 +73,7 @@ class RasterizerAux(NamedTuple):
     point_depth: jnp.ndarray          # (N,)
     num_overlap_tiles: jnp.ndarray    # (N,) int32
     total_keys: jnp.ndarray           # () int32
-    key_overflow: jnp.ndarray         # () int32
+    big_point_overflow: jnp.ndarray   # () int32
     tile_cap_overflow: jnp.ndarray    # () int32
     pixel_accumulated_alpha: jnp.ndarray  # (H, W)
 
@@ -131,13 +133,18 @@ def _image_to_tiles(image, grid: TileGrid):
     return x.reshape(th * tw, TILE_HEIGHT * TILE_WIDTH, c)
 
 
-def _assemble_point_data(uv, conic, logw, color, depth, sorted_point_idx):
-    """Gather per-point attributes into the (16, MAX_KEYS) sorted slab."""
+def _assemble_point_data(cols, depth, sorted_point_idx):
+    """Gather per-point attribute columns into the (16, EM_CAP) sorted slab.
+
+    cols = (u, v, conic_a, conic_b, conic_c, logw, color_r, color_g, color_b),
+    each (N,). The stack is lane-major (16, N) - no tile padding - and the
+    gather along the lane dim is a single pass over the slab."""
+    u, v, ca, cb, cc, logw, cr, cg, cb_col = cols
     zeros = jnp.zeros_like(logw)
     rows = jnp.stack([
-        uv[:, 0], uv[:, 1], conic[:, 0], conic[:, 1], conic[:, 2], logw,
+        u, v, ca, cb, cc, logw,
         zeros, zeros,
-        color[:, 0], color[:, 1], color[:, 2], depth, jnp.ones_like(logw),
+        cr, cg, cb_col, depth, jnp.ones_like(logw),
         zeros, zeros, zeros,
     ], axis=0)
     return rows[:, sorted_point_idx]
@@ -145,14 +152,15 @@ def _assemble_point_data(uv, conic, logw, color, depth, sorted_point_idx):
 
 class _BlendBinning(NamedTuple):
     sorted_point_idx: jnp.ndarray
-    sorted_emission_idx: jnp.ndarray
+    sorted_pos: jnp.ndarray          # emission positions (a permutation)
     tile_starts: jnp.ndarray
     tile_ends: jnp.ndarray
+    point_range_start: jnp.ndarray   # (N,) emission range start per point
+    point_emit_count: jnp.ndarray    # (N,) emitted key count per point
 
 
-def _blend_fwd_explicit(uv, conic, logw, color, depth, binning, grid: TileGrid,
-                        chunk):
-    point_data = _assemble_point_data(uv, conic, logw, color, depth,
+def _blend_fwd_explicit(cols, depth, binning, grid: TileGrid, chunk):
+    point_data = _assemble_point_data(cols, depth,
                                       binning.sorted_point_idx)
     tile_out = BP.blend_forward(
         point_data, binning.tile_starts, binning.tile_ends,
@@ -162,8 +170,15 @@ def _blend_fwd_explicit(uv, conic, logw, color, depth, binning, grid: TileGrid,
 
 
 def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
-                        n, t_cap, chunk):
+                        n, chunk):
     """Run the Pallas backward and reduce per-key gradients to per-point.
+
+    Scatter-free reduction (XLA scatters are ~100x slower than sorts on TPU,
+    see ops/tiling.py): per-key gradients are permuted back to *emission
+    order* - where each point's keys are contiguous - via an argsort of the
+    emission positions plus a gather, then reduced per point as a cumulative
+    -sum difference over each point's [start, start+count) range. This
+    replaces the reference's atomic adds (reference: :675-696).
 
     Returns per-point cotangents (duv, dconic, dlogw, dcolor) and
     BackwardStats.
@@ -177,26 +192,35 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
         num_tiles=grid.num_tiles,
         tiles_per_row=grid.tiles_per_row, chunk=chunk)
 
-    # route per-key gradients back to emission slots (unique permutation
-    # scatter - the TPU replacement for the reference's atomics, :675-696)
-    g_keys = grad_data.T  # (MAX_KEYS, 16)
-    slots = jnp.zeros((n * t_cap, 16), jnp.float32)
-    slots = slots.at[binning.sorted_emission_idx].set(
-        g_keys, mode="drop", unique_indices=True)
-    per_point = slots.reshape(n, t_cap, 16).sum(axis=1)  # (N, 16)
+    em_cap = grad_data.shape[1]
+    # invert the binning sort: inv[j] = sorted index of emission position j
+    _, inv = jax.lax.sort(
+        (binning.sorted_pos, jnp.arange(em_cap, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    grad_emission = grad_data[:, inv]                    # (16, EM_CAP)
+    csum = jnp.cumsum(grad_emission, axis=1)             # (16, EM_CAP)
+    start = binning.point_range_start                    # (N,)
+    count = binning.point_emit_count                     # (N,)
+    end_idx = jnp.clip(start + count - 1, 0, em_cap - 1)
+    hi = csum[:, end_idx]                                # (16, N)
+    lo = jnp.where(start[None, :] > 0,
+                   csum[:, jnp.clip(start - 1, 0, em_cap - 1)], 0.0)
+    per_point = jnp.where(count[None, :] > 0, hi - lo, 0.0)   # (16, N)
 
-    duv = per_point[:, BP.GROW_DU:BP.GROW_DV + 1]
-    dconic = per_point[:, BP.GROW_DA:BP.GROW_DC + 1]
-    dlogw = per_point[:, BP.GROW_DLOGW]
-    dcolor = per_point[:, BP.GROW_DR:BP.GROW_DB_COL + 1]
+    cotangents = (per_point[BP.GROW_DU], per_point[BP.GROW_DV],
+                  per_point[BP.GROW_DA], per_point[BP.GROW_DB],
+                  per_point[BP.GROW_DC], per_point[BP.GROW_DLOGW],
+                  per_point[BP.GROW_DR], per_point[BP.GROW_DG],
+                  per_point[BP.GROW_DB_COL])
     stats = BackwardStats(
-        grad_viewspace=duv,
-        magnitude_grad_viewspace=per_point[:, BP.GROW_MAG_UV],
-        num_affected_pixels=per_point[:, BP.GROW_NUM_PIXELS].astype(jnp.int32),
+        grad_viewspace=jnp.stack(
+            [per_point[BP.GROW_DU], per_point[BP.GROW_DV]], axis=-1),
+        magnitude_grad_viewspace=per_point[BP.GROW_MAG_UV],
+        num_affected_pixels=per_point[BP.GROW_NUM_PIXELS].astype(jnp.int32),
         magnitude_grad_viewspace_on_image=_tiles_to_image(
             mag_image_tiles, grid)[:, :, 0:2],
     )
-    return (duv, dconic, dlogw, dcolor), stats
+    return cotangents, stats
 
 
 def _float0_zeros(x):
@@ -209,43 +233,31 @@ def _float0_zeros(x):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend_core(static_cfg, uv, conic, logw, color, depth,
-                sorted_point_idx, sorted_emission_idx, tile_starts, tile_ends):
-    out, _ = _blend_core_fwd(static_cfg, uv, conic, logw, color, depth,
-                             sorted_point_idx, sorted_emission_idx,
-                             tile_starts, tile_ends)
+def _blend_core(static_cfg, cols, depth, blend_binning):
+    out, _ = _blend_core_fwd(static_cfg, cols, depth, blend_binning)
     return out
 
 
-def _blend_core_fwd(static_cfg, uv, conic, logw, color, depth,
-                    sorted_point_idx, sorted_emission_idx, tile_starts,
-                    tile_ends):
-    grid, chunk, t_cap, n = static_cfg
-    binning = _BlendBinning(sorted_point_idx, sorted_emission_idx,
-                            tile_starts, tile_ends)
-    point_data, tile_out = _blend_fwd_explicit(
-        uv, conic, logw, color, depth, binning, grid, chunk)
-    residuals = (point_data, tile_out, sorted_point_idx, sorted_emission_idx,
-                 tile_starts, tile_ends)
+def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
+    grid, chunk, n = static_cfg
+    binning = _BlendBinning(*blend_binning)
+    point_data, tile_out = _blend_fwd_explicit(cols, depth, binning, grid,
+                                               chunk)
+    residuals = (point_data, tile_out, blend_binning)
     return tile_out, residuals
 
 
 def _blend_core_bwd(static_cfg, residuals, g_tile_out):
-    grid, chunk, t_cap, n = static_cfg
-    (point_data, tile_out, sorted_point_idx, sorted_emission_idx,
-     tile_starts, tile_ends) = residuals
-    binning = _BlendBinning(sorted_point_idx, sorted_emission_idx,
-                            tile_starts, tile_ends)
+    grid, chunk, n = static_cfg
+    point_data, tile_out, blend_binning = residuals
+    binning = _BlendBinning(*blend_binning)
     # only the rgb columns of the tile output carry gradient
     g_image = _tiles_to_image(g_tile_out[:, :, 0:3], grid)
-    (duv, dconic, dlogw, dcolor), _ = _blend_bwd_explicit(
-        point_data, tile_out, g_image, binning, grid, n, t_cap, chunk)
-    return (duv, dconic, dlogw, dcolor,
-            jnp.zeros_like(dlogw),                  # depth: no grad
-            _float0_zeros(sorted_point_idx),
-            _float0_zeros(sorted_emission_idx),
-            _float0_zeros(tile_starts),
-            _float0_zeros(tile_ends))
+    cotangents, _ = _blend_bwd_explicit(
+        point_data, tile_out, g_image, binning, grid, n, chunk)
+    return (cotangents,
+            jnp.zeros_like(cotangents[0]),          # depth: no grad
+            tuple(_float0_zeros(x) for x in blend_binning))
 
 
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
@@ -264,26 +276,28 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         q_cam, t_cam, t_pointcloud_camera, camera_info,
         config.near_plane, config.far_plane, color_sh_mask)
     binning = bin_points_to_tiles(
-        attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum,
+        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
         camera_info,
         depth_to_sort_key_scale=config.depth_to_sort_key_scale,
-        max_keys=config.max_keys,
-        max_tiles_per_point=config.max_tiles_per_point)
+        max_tiles_per_point=config.max_tiles_per_point,
+        big_point_divisor=config.big_point_divisor,
+        chunk=config.chunk)
     return attrs, binning
 
 
 def _blend_inputs_from_attrs(attrs):
-    """Split attributes into the blend's differentiable inputs.
+    """Split attributes into the blend's differentiable input columns.
 
     rescale enters log-space with gradient blocked (reference: utils.py:347);
     the alpha-logit chain flows through log(sigmoid(alpha)).
     """
     rescale_log = jax.lax.stop_gradient(
-        jnp.log(jnp.maximum(attrs.conic_and_rescale[:, 3], 1e-30)))
+        jnp.log(jnp.maximum(attrs.rescale, 1e-30)))
     logw = rescale_log + jnp.log(
         jnp.maximum(attrs.alpha_after_activation, 1e-30))
-    return (attrs.uv, attrs.conic_and_rescale[:, 0:3], logw, attrs.color,
-            jax.lax.stop_gradient(attrs.xyz_camera[:, 2]))
+    cols = (attrs.u, attrs.v, attrs.conic_a, attrs.conic_b, attrs.conic_c,
+            logw, attrs.color_r, attrs.color_g, attrs.color_b)
+    return cols, jax.lax.stop_gradient(attrs.depth)
 
 
 def _result_from_tile_out(tile_out, attrs, binning, camera_info):
@@ -296,11 +310,11 @@ def _result_from_tile_out(tile_out, attrs, binning, camera_info):
     aux = RasterizerAux(
         in_frustum=attrs.in_frustum,
         point_uv=jax.lax.stop_gradient(attrs.uv),
-        point_depth=jax.lax.stop_gradient(attrs.xyz_camera[:, 2]),
+        point_depth=jax.lax.stop_gradient(attrs.depth),
         num_overlap_tiles=jax.lax.stop_gradient(num_overlap_tiles(
-            attrs.uv, attrs.radii, attrs.in_frustum, camera_info)),
+            attrs.u, attrs.v, attrs.radii, attrs.in_frustum, camera_info)),
         total_keys=binning.total_keys,
-        key_overflow=binning.key_overflow,
+        big_point_overflow=binning.big_point_overflow,
         tile_cap_overflow=binning.tile_cap_overflow,
         pixel_accumulated_alpha=acc_alpha,
     )
@@ -327,13 +341,13 @@ def rasterize(
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
         color_sh_mask)
-    static_cfg = (TileGrid.from_camera(camera_info), config.chunk,
-                  config.max_tiles_per_point, n)
-    uv, conic, logw, color, depth = _blend_inputs_from_attrs(attrs)
-    tile_out = _blend_core(
-        static_cfg, uv, conic, logw, color, depth,
-        binning.sorted_point_idx, binning.sorted_emission_idx,
-        binning.tile_starts, binning.tile_ends)
+    static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n)
+    cols, depth = _blend_inputs_from_attrs(attrs)
+    blend_binning = tuple(_BlendBinning(
+        binning.sorted_point_idx, binning.sorted_pos,
+        binning.tile_starts, binning.tile_ends,
+        binning.point_range_start, binning.point_emit_count))
+    tile_out = _blend_core(static_cfg, cols, depth, blend_binning)
     return _result_from_tile_out(tile_out, attrs, binning, camera_info)
 
 
@@ -356,21 +370,25 @@ def rasterize_with_vjp(
             pc, feats, point_invalid_mask, point_object_id,
             q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
             color_sh_mask)
-        uv, conic, logw, color, depth = _blend_inputs_from_attrs(attrs)
-        return (uv, conic, logw, color), (attrs, binning, depth)
+        cols, depth = _blend_inputs_from_attrs(attrs)
+        return cols, (attrs, binning, depth)
 
-    (uv, conic, logw, color), attr_vjp, (attrs, binning, depth) = jax.vjp(
+    cols, attr_vjp, (attrs, binning, depth) = jax.vjp(
         attr_fn, pointcloud, pointcloud_features, has_aux=True)
 
     grid = TileGrid.from_camera(camera_info)
+    blend_binning = _BlendBinning(
+        binning.sorted_point_idx, binning.sorted_pos,
+        binning.tile_starts, binning.tile_ends,
+        binning.point_range_start, binning.point_emit_count)
     point_data, tile_out = _blend_fwd_explicit(
-        uv, conic, logw, color, depth, binning, grid, config.chunk)
+        cols, depth, blend_binning, grid, config.chunk)
     result = _result_from_tile_out(tile_out, attrs, binning, camera_info)
 
     def vjp_fn(g_image):
         cotangents, stats = _blend_bwd_explicit(
-            point_data, tile_out, g_image, binning, grid, n,
-            config.max_tiles_per_point, config.chunk)
+            point_data, tile_out, g_image, blend_binning, grid, n,
+            config.chunk)
         grad_pc, grad_feats = attr_vjp(cotangents)
         return grad_pc, grad_feats, stats
 

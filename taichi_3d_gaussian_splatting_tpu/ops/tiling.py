@@ -1,5 +1,5 @@
-"""Tile binning under static shapes: bbox -> padded key emission -> sort ->
-tile ranges.
+"""Tile binning under static shapes: two-tier padded emission -> one packed
+sort -> tile ranges. Completely scatter-free.
 
 This replaces four reference stages with TPU-native equivalents:
 - `generate_num_overlap_tiles` (reference: GaussianPointCloudRasterisation.py:106-129)
@@ -8,26 +8,40 @@ This replaces four reference stages with TPU-native equivalents:
   (reference: :947-949)
 - `find_tile_start_and_end` (reference: :175-193)
 
-Design differences, chosen for XLA/TPU:
-- No dynamic allocation: keys live in a fixed (MAX_KEYS,) buffer. Each point
-  emits at most MAX_TILES_PER_POINT slots; overflow in either budget is
-  *counted and reported*, never silent.
-- No 64-bit packed keys (int64 is emulated on TPU): we use
-  `jax.lax.sort` with two 32-bit keys (tile_id, quantized depth), which gives
-  the same (tile, depth) lexicographic order. Depth quantization matches the
-  reference: int32(depth * depth_to_sort_key_scale), truncation toward zero.
-- Tile start/end extraction is a vectorized binary search over the sorted
-  tile ids instead of a boundary-detection kernel.
+Why this shape (measured on TPU v5e): XLA scatters are catastrophically slow
+(~130ms for the compaction this module used to do; ~1.7s for the backward's
+27M-row scatter), while `lax.sort` is fast (~6ms for 2M x 3 operands). So
+instead of compacting a ragged (N, T_CAP) emission into a dense key buffer
+with a scatter and then sorting, we keep FIXED per-point slot budgets and
+sort the padded layout directly:
 
-The emission index (point_idx * MAX_TILES_PER_POINT + slot) is carried through
-the sort; the backward pass uses it as a *unique-index* scatter permutation to
-route per-key gradients back to points without atomics
-(design note: SURVEY.md section 2.4 - atomics are replaced by segment
-reductions over the sorted key layout).
+- tier A: every point owns 4 slots - enough for the 2x2-tile bounding boxes
+  that cover the vast majority of splats;
+- tier B: points overlapping more than 4 tiles (selected with a cheap
+  flag-sort over N, no scatter) own `max_tiles_per_point` slots each in a
+  fixed pool of `N // big_point_divisor` big-point entries.
+
+Padding slots carry an int32-max key and sort to the end. The (tile, depth)
+order is packed into ONE int32 key: tile id in the high bits, quantized depth
+in the remaining `31 - ceil_log2(num_tiles)` bits (the reference quantizes to
+int32(depth * depth_to_sort_key_scale) in a 64-bit key, reference: :158-160;
+we saturate at the narrower budget and document the coarser tie-break).
+
+The sort payload is the slot's *emission position* - a stable flattened
+index with contiguous per-point ranges (tier A point i owns [4i, 4i+count);
+tier B entry b owns [4N + T_B*b, ... + count)). The backward pass exploits
+this: per-key gradients are put back into emission order with one small
+sort + gather and reduced per point with a cumsum difference - no atomics,
+no scatter (see ops/rasterizer.py).
+
+Overflow is *counted and reported*, never silent: points whose bbox exceeds
+`max_tiles_per_point` tiles lose the excess (tile_cap_overflow); big points
+beyond the tier-B pool capacity are dropped entirely (big_point_overflow).
 """
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -35,21 +49,34 @@ import jax.numpy as jnp
 
 from ..camera import CameraInfo, TILE_WIDTH, TILE_HEIGHT
 
+TIER_A_SLOTS = 4
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
 
 class TileBinning(NamedTuple):
-    sorted_tile_id: jnp.ndarray       # (MAX_KEYS,) int32; num_tiles = padding
-    sorted_depth_key: jnp.ndarray     # (MAX_KEYS,) int32
-    sorted_emission_idx: jnp.ndarray  # (MAX_KEYS,) int32 (point*T_CAP + slot)
-    sorted_point_idx: jnp.ndarray     # (MAX_KEYS,) int32 (clamped to [0, N))
-    sorted_valid: jnp.ndarray         # (MAX_KEYS,) bool
+    sorted_key: jnp.ndarray           # (EM_CAP,) int32 packed tile|depth
+    sorted_tile_id: jnp.ndarray       # (EM_CAP,) int32; num_tiles = padding
+    sorted_depth_key: jnp.ndarray     # (EM_CAP,) int32 quantized depth
+    sorted_pos: jnp.ndarray           # (EM_CAP,) int32 emission position
+    sorted_point_idx: jnp.ndarray     # (EM_CAP,) int32 (clamped to [0, N))
+    sorted_valid: jnp.ndarray         # (EM_CAP,) bool
     tile_starts: jnp.ndarray          # (num_tiles,) int32
     tile_ends: jnp.ndarray            # (num_tiles,) int32
-    total_keys: jnp.ndarray           # () int32, keys actually emitted
-    key_overflow: jnp.ndarray         # () int32, keys dropped by MAX_KEYS
-    tile_cap_overflow: jnp.ndarray    # () int32, tiles dropped by per-point cap
+    point_range_start: jnp.ndarray    # (N,) int32 emission range start
+    point_emit_count: jnp.ndarray     # (N,) int32 emitted (capped) tiles
+    total_keys: jnp.ndarray           # () int32 valid keys emitted
+    tile_cap_overflow: jnp.ndarray    # () int32 tiles dropped (cap + pool)
+    big_point_overflow: jnp.ndarray   # () int32 points dropped by tier-B pool
 
 
-def tile_bbox(uv, radii, camera_info: CameraInfo):
+def emission_capacity(n: int, max_tiles_per_point: int = 32,
+                      big_point_divisor: int = 8, chunk: int = 128) -> int:
+    n_big = max(n // big_point_divisor, 1)
+    raw = TIER_A_SLOTS * n + max_tiles_per_point * n_big
+    return ((raw + chunk - 1) // chunk) * chunk
+
+
+def tile_bbox(u, v, radii, camera_info: CameraInfo):
     """Axis-aligned tile bbox exactly as the reference computes it
     (reference: GaussianPointCloudRasterisation.py:81-103), including the
     min-1-pixel radius and the clamp semantics that keep off-screen points in
@@ -57,7 +84,6 @@ def tile_bbox(uv, radii, camera_info: CameraInfo):
     tiles_x = camera_info.camera_width // TILE_WIDTH
     tiles_y = camera_info.camera_height // TILE_HEIGHT
     r = jnp.maximum(radii, 1.0)
-    u, v = uv[..., 0], uv[..., 1]
     min_u = jnp.maximum(0.0, u - r)
     max_u = u + r
     min_v = jnp.maximum(0.0, v - r)
@@ -71,101 +97,153 @@ def tile_bbox(uv, radii, camera_info: CameraInfo):
     return min_tile_u, max_tile_u, min_tile_v, max_tile_v
 
 
-def num_overlap_tiles(uv, radii, in_frustum, camera_info: CameraInfo):
-    """(N,) int32 tile-overlap counts, 0 for culled points
+def num_overlap_tiles(u, v, radii, in_frustum, camera_info: CameraInfo):
+    """(N,) int32 exact tile-overlap counts, 0 for culled points
     (reference: GaussianPointCloudRasterisation.py:106-129)."""
-    min_u, max_u, min_v, max_v = tile_bbox(uv, radii, camera_info)
+    min_u, max_u, min_v, max_v = tile_bbox(u, v, radii, camera_info)
     count = (max_u - min_u) * (max_v - min_v)
     return jnp.where(in_frustum, count, 0)
 
 
+def _slot_div_mod(slots, dv):
+    """(slots // dv, slots % dv) for small positive ints via exact f32 math
+    (integer vector division is slow on the VPU)."""
+    div = jnp.floor((slots.astype(jnp.float32) + 0.5)
+                    / dv.astype(jnp.float32)).astype(jnp.int32)
+    return div, slots - div * dv
+
+
+def _emit_tier(slots, count, min_u, min_v, dv, depth_q, tiles_x, depth_bits):
+    """Slot grid -> packed keys. Emission order matches the reference
+    (tile_u outer, tile_v inner, reference: :161-172)."""
+    valid = slots < count[:, None]
+    du_idx, dv_idx = _slot_div_mod(slots, jnp.maximum(dv, 1)[:, None])
+    tile = (min_v[:, None] + dv_idx) * tiles_x + (min_u[:, None] + du_idx)
+    key = tile * (1 << depth_bits) + depth_q[:, None]
+    return jnp.where(valid, key, INT32_MAX)
+
+
 def bin_points_to_tiles(
-    uv: jnp.ndarray,           # (N, 2)
+    u: jnp.ndarray,            # (N,)
+    v: jnp.ndarray,            # (N,)
     depth: jnp.ndarray,        # (N,)
     radii: jnp.ndarray,        # (N,)
     in_frustum: jnp.ndarray,   # (N,) bool
     camera_info: CameraInfo,
     depth_to_sort_key_scale: float = 100.0,
-    max_keys: int = 2 ** 21,
-    max_tiles_per_point: int = 64,
+    max_tiles_per_point: int = 32,
+    big_point_divisor: int = 8,
+    chunk: int = 128,
 ) -> TileBinning:
-    uv = jax.lax.stop_gradient(uv)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
     depth = jax.lax.stop_gradient(depth)
     radii = jax.lax.stop_gradient(radii)
 
-    n = uv.shape[0]
-    t_cap = max_tiles_per_point
+    n = u.shape[0]
+    t_b = max_tiles_per_point
+    n_big = max(n // big_point_divisor, 1)
     tiles_x = camera_info.camera_width // TILE_WIDTH
     num_tiles = camera_info.num_tiles
+    depth_bits = 31 - max(int(math.ceil(math.log2(num_tiles + 1))), 1)
+    em_cap = emission_capacity(n, t_b, big_point_divisor, chunk)
 
-    min_u, max_u, min_v, max_v = tile_bbox(uv, radii, camera_info)
+    min_u, max_u, min_v, max_v = tile_bbox(u, v, radii, camera_info)
     du = max_u - min_u
     dv = max_v - min_v
     count_full = jnp.where(in_frustum, du * dv, 0)
-    count = jnp.minimum(count_full, t_cap)
-    tile_cap_overflow = jnp.sum(count_full - count)
 
-    offsets = jnp.cumsum(count) - count  # exclusive prefix sum, (N,)
-    total = jnp.sum(count)
-    key_overflow = jnp.maximum(total - max_keys, 0)
-    total_keys = jnp.minimum(total, max_keys)
+    depth_q = jnp.clip((depth * depth_to_sort_key_scale).astype(jnp.int32),
+                       0, (1 << depth_bits) - 1)
 
-    # Slot enumeration matches the reference's emission order: tile_u outer,
-    # tile_v inner (reference: :161-172).
-    slots = jnp.arange(t_cap, dtype=jnp.int32)[None, :]          # (1, T)
-    valid_slot = slots < count[:, None]                          # (N, T)
-    slot_du = slots // jnp.maximum(dv[:, None], 1)
-    slot_dv = slots % jnp.maximum(dv[:, None], 1)
-    tile_id = ((min_v[:, None] + slot_dv) * tiles_x
-               + (min_u[:, None] + slot_du)).astype(jnp.int32)    # (N, T)
+    # ---- tier A: every point, 4 slots --------------------------------
+    is_small = count_full <= TIER_A_SLOTS
+    count_a = jnp.where(is_small, count_full, 0)
+    slots_a = jnp.arange(TIER_A_SLOTS, dtype=jnp.int32)[None, :]
+    keys_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
+                        tiles_x, depth_bits)                   # (N, 4)
 
-    depth_key = (depth * depth_to_sort_key_scale).astype(jnp.int32)  # trunc,
-    # same quantization as the reference (reference: :158-160)
-    depth_key = jnp.broadcast_to(depth_key[:, None], (n, t_cap))
+    # ---- tier B: big points into a fixed pool (flag sort, no scatter) ----
+    is_big = (count_full > TIER_A_SLOTS)
+    flag = jnp.where(is_big, jnp.int32(0), jnp.int32(1))
+    _, big_ids = jax.lax.sort(
+        (flag, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    big_ids = big_ids[:n_big]                                  # (N_BIG,)
+    n_big_actual = jnp.sum(is_big.astype(jnp.int32))
+    big_point_overflow = jnp.maximum(n_big_actual - n_big, 0)
+    big_rank = jnp.arange(n_big, dtype=jnp.int32)
+    big_active = big_rank < jnp.minimum(n_big_actual, n_big)
 
-    emission_idx = (jnp.arange(n, dtype=jnp.int32)[:, None] * t_cap
-                    + slots)                                      # (N, T)
+    count_b_full = jnp.where(big_active, count_full[big_ids], 0)
+    count_b = jnp.minimum(count_b_full, t_b)
+    slots_b = jnp.arange(t_b, dtype=jnp.int32)[None, :]
+    keys_b = _emit_tier(slots_b, count_b, min_u[big_ids], min_v[big_ids],
+                        dv[big_ids], depth_q[big_ids], tiles_x, depth_bits)
 
-    target = offsets[:, None] + slots                             # (N, T)
-    target = jnp.where(valid_slot & (target < max_keys), target, max_keys)
+    # ---- flatten + pad + one packed sort ------------------------------
+    flat_keys = jnp.concatenate([keys_a.reshape(-1), keys_b.reshape(-1)])
+    pad_len = em_cap - flat_keys.shape[0]
+    flat_keys = jnp.concatenate(
+        [flat_keys, jnp.full((pad_len,), INT32_MAX, jnp.int32)])
+    positions = jnp.arange(em_cap, dtype=jnp.int32)
+    sorted_key, sorted_pos = jax.lax.sort(
+        (flat_keys, positions), num_keys=1, is_stable=True)
 
-    # Scatter into the fixed key buffer; indices are unique by construction
-    # (disjoint [offset, offset+count) ranges), OOB rows are dropped.
-    pad_tile = jnp.full((max_keys,), num_tiles, dtype=jnp.int32)
-    pad_depth = jnp.full((max_keys,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-    # padding sentinel: out-of-range so the backward's permutation scatter
-    # drops padding keys instead of clobbering emission slot 0
-    pad_emission = jnp.full((max_keys,), jnp.iinfo(jnp.int32).max,
-                            dtype=jnp.int32)
-    flat_target = target.reshape(-1)
-    buf_tile = pad_tile.at[flat_target].set(
-        tile_id.reshape(-1), mode="drop", unique_indices=True)
-    buf_depth = pad_depth.at[flat_target].set(
-        depth_key.reshape(-1), mode="drop", unique_indices=True)
-    buf_emission = pad_emission.at[flat_target].set(
-        emission_idx.reshape(-1), mode="drop", unique_indices=True)
+    sorted_valid = sorted_key != INT32_MAX
+    # emission position -> point index
+    tier_b_pos = sorted_pos - TIER_A_SLOTS * n
+    b_entry = jnp.clip(tier_b_pos // t_b, 0, n_big - 1)
+    point_idx = jnp.where(sorted_pos < TIER_A_SLOTS * n,
+                          sorted_pos // TIER_A_SLOTS,
+                          big_ids[b_entry])
+    sorted_point_idx = jnp.where(sorted_valid,
+                                 jnp.clip(point_idx, 0, n - 1), 0)
 
-    sorted_tile, sorted_depth, sorted_emission = jax.lax.sort(
-        (buf_tile, buf_depth, buf_emission), num_keys=2, is_stable=True)
+    # per-point emission range (for the backward's segmented reduction)
+    point_arange = jnp.arange(n, dtype=jnp.int32)
+    # tier B start per point: need rank of each big point; big_ids[rank] = id.
+    # Build id -> rank with a second flag sort payload trick: sort (big_ids
+    # padded with sentinel) would need a scatter; instead carry the rank via
+    # sorting (big_ids, rank) by id.
+    big_sorted_ids, big_sorted_rank = jax.lax.sort(
+        (jnp.where(big_active, big_ids, INT32_MAX), big_rank),
+        num_keys=1, is_stable=True)
+    # searchsorted gives each point its rank slot (valid only for big points)
+    found = jnp.searchsorted(big_sorted_ids, point_arange).astype(jnp.int32)
+    found = jnp.clip(found, 0, n_big - 1)
+    rank_of_point = big_sorted_rank[found]
+    is_pooled_big = (big_sorted_ids[found] == point_arange) & is_big
+    point_range_start = jnp.where(
+        is_pooled_big, TIER_A_SLOTS * n + rank_of_point * t_b,
+        point_arange * TIER_A_SLOTS)
+    point_emit_count = jnp.where(
+        is_pooled_big, jnp.minimum(count_full, t_b), count_a)
 
-    sorted_valid = sorted_tile < num_tiles
-    sorted_point = jnp.where(sorted_valid, sorted_emission // t_cap, 0)
-
-    tile_range_queries = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(sorted_tile, tile_range_queries,
+    tile_range_queries = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
+    tile_starts = jnp.searchsorted(sorted_key, tile_range_queries,
                                    side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(sorted_tile, tile_range_queries,
-                                 side="right").astype(jnp.int32)
+    tile_ends = jnp.searchsorted(
+        sorted_key,
+        (jnp.arange(num_tiles, dtype=jnp.int32) + 1) << depth_bits,
+        side="left").astype(jnp.int32)
 
+    total_emitted = jnp.sum(count_a) + jnp.sum(count_b)
+    sorted_tile_id = jnp.where(sorted_valid, sorted_key >> depth_bits,
+                               num_tiles)
+    sorted_depth_key = jnp.where(
+        sorted_valid, sorted_key & ((1 << depth_bits) - 1), INT32_MAX)
     return TileBinning(
-        sorted_tile_id=sorted_tile,
-        sorted_depth_key=sorted_depth,
-        sorted_emission_idx=sorted_emission,
-        sorted_point_idx=sorted_point,
+        sorted_key=sorted_key,
+        sorted_tile_id=sorted_tile_id,
+        sorted_depth_key=sorted_depth_key,
+        sorted_pos=sorted_pos,
+        sorted_point_idx=sorted_point_idx,
         sorted_valid=sorted_valid,
         tile_starts=tile_starts,
         tile_ends=tile_ends,
-        total_keys=total_keys,
-        key_overflow=key_overflow,
-        tile_cap_overflow=tile_cap_overflow,
+        point_range_start=point_range_start,
+        point_emit_count=point_emit_count,
+        total_keys=total_emitted,
+        tile_cap_overflow=jnp.sum(count_full) - total_emitted,
+        big_point_overflow=big_point_overflow,
     )

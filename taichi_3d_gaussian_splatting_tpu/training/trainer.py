@@ -287,7 +287,7 @@ class GaussianPointCloudTrainer:
                 "loss": loss, "l1": l1, "ssim_loss": ld_ssim,
                 "psnr": psnr_fn(img, image_gt),
                 "ssim": 1.0 - ld_ssim,
-                "key_overflow": result.aux.key_overflow,
+                "big_point_overflow": result.aux.big_point_overflow,
                 "tile_cap_overflow": result.aux.tile_cap_overflow,
                 "total_keys": result.aux.total_keys,
             }
@@ -394,7 +394,8 @@ class GaussianPointCloudTrainer:
                     "train/loss": metrics["loss"],
                     "train/l1 loss": metrics["l1"],
                     "train/ssim loss": metrics["ssim_loss"],
-                    "train/key_overflow": metrics["key_overflow"],
+                    "train/big_point_overflow": metrics["big_point_overflow"],
+                    "train/tile_cap_overflow": metrics["tile_cap_overflow"],
                     "train/total_keys": metrics["total_keys"],
                 }, console_keys=(
                     ("train/loss", "train/l1 loss", "train/ssim loss")

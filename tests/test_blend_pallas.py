@@ -41,7 +41,7 @@ def random_scene(n, seed=0, alpha=2.0):
 
 
 CONFIG = RasterizerConfig(near_plane=0.1, far_plane=100.0,
-                          max_keys=1024, max_tiles_per_point=32, chunk=128)
+                          max_tiles_per_point=32, chunk=128)
 
 
 def render_both(pc, feats, cam, seed_invalid=None):
@@ -64,14 +64,13 @@ def render_both(pc, feats, cam, seed_invalid=None):
                     fromlist=["inverse_SE3_qt"]).inverse_SE3_qt(q_cam, t_cam),
         t_cam, cam, CONFIG.near_plane, CONFIG.far_plane)
     binning = tiling.bin_points_to_tiles(
-        attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum, cam,
+        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum, cam,
         depth_to_sort_key_scale=CONFIG.depth_to_sort_key_scale,
-        max_keys=CONFIG.max_keys,
         max_tiles_per_point=CONFIG.max_tiles_per_point)
     oracle = blend_reference(
         binning.sorted_point_idx, binning.sorted_tile_id, binning.sorted_valid,
         attrs.uv, attrs.conic_and_rescale, attrs.alpha_after_activation,
-        attrs.color, attrs.xyz_camera[:, 2], cam)
+        attrs.color, attrs.depth, cam)
     return result, oracle
 
 
@@ -114,8 +113,7 @@ def test_forward_chunk_boundaries():
     # more keys than one chunk per tile: exercises the chunk loop + carries
     cam = make_camera(16, 16)
     pc, feats = random_scene(400, seed=5, alpha=-1.0)  # translucent: no sat
-    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_keys=2048,
-                           max_tiles_per_point=16, chunk=128)
+    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_tiles_per_point=16, chunk=128)
     n = pc.shape[0]
     obj = jnp.zeros((n,), jnp.int32)
     inv = jnp.zeros((n,), jnp.int8)
@@ -129,13 +127,13 @@ def test_forward_chunk_boundaries():
         jnp.array(pc), jnp.array(feats), inv, obj,
         *inverse_SE3_qt(q_cam, t_cam), t_cam, cam, 0.1, 100.0)
     binning = tiling.bin_points_to_tiles(
-        attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum, cam,
-        max_keys=2048, max_tiles_per_point=16)
+        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum, cam,
+        max_tiles_per_point=16)
     assert int(binning.tile_starts[0]) % 128 != 0 or True  # smoke layout
     oracle = blend_reference(
         binning.sorted_point_idx, binning.sorted_tile_id, binning.sorted_valid,
         attrs.uv, attrs.conic_and_rescale, attrs.alpha_after_activation,
-        attrs.color, attrs.xyz_camera[:, 2], cam)
+        attrs.color, attrs.depth, cam)
     np.testing.assert_allclose(np.asarray(result.image),
                                np.asarray(oracle.image), atol=5e-5)
     np.testing.assert_array_equal(
@@ -160,15 +158,14 @@ def _oracle_loss_grads(pc, feats, cam, g_seed=7):
             pc_j, feats_j, inv, obj, *inverse_SE3_qt(q_cam, t_cam), t_cam,
             cam, CONFIG.near_plane, CONFIG.far_plane)
         binning = tiling.bin_points_to_tiles(
-            attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum,
+            attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
             cam, depth_to_sort_key_scale=CONFIG.depth_to_sort_key_scale,
-            max_keys=CONFIG.max_keys,
             max_tiles_per_point=CONFIG.max_tiles_per_point)
         out = blend_reference(
             binning.sorted_point_idx, binning.sorted_tile_id,
             binning.sorted_valid, attrs.uv, attrs.conic_and_rescale,
             attrs.alpha_after_activation, attrs.color,
-            attrs.xyz_camera[:, 2], cam)
+            attrs.depth, cam)
         return jnp.sum(out.image * g_img)
 
     gp, gf = jax.grad(loss, argnums=(0, 1))(jnp.array(pc), jnp.array(feats))

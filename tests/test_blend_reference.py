@@ -33,7 +33,7 @@ def make_features(n, rng, alpha=3.0, scale=-1.5):
     return feats
 
 
-def render(pointcloud, feats, cam, invalid=None, max_keys=256, t_cap=16):
+def render(pointcloud, feats, cam, invalid=None, t_cap=16):
     n = pointcloud.shape[0]
     if invalid is None:
         invalid = np.zeros((n,), np.int8)
@@ -44,12 +44,12 @@ def render(pointcloud, feats, cam, invalid=None, max_keys=256, t_cap=16):
         jnp.zeros((n,), jnp.int32), q_cam, t_cam, t_cam, cam,
         near_plane=0.1, far_plane=100.0)
     binning = tiling.bin_points_to_tiles(
-        attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum, cam,
-        max_keys=max_keys, max_tiles_per_point=t_cap)
+        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum, cam,
+        max_tiles_per_point=t_cap)
     out = blend_reference(
         binning.sorted_point_idx, binning.sorted_tile_id, binning.sorted_valid,
         attrs.uv, attrs.conic_and_rescale, attrs.alpha_after_activation,
-        attrs.color, attrs.xyz_camera[:, 2], cam)
+        attrs.color, attrs.depth, cam)
     return attrs, binning, out
 
 
@@ -95,7 +95,7 @@ def test_saturation_stops_blending():
     n = 40
     pc = np.stack([np.zeros(n), np.zeros(n), np.linspace(2, 3, n)], 1).astype(np.float32)
     feats = make_features(n, rng, alpha=8.0, scale=-0.5)
-    _, _, out = render(pc, feats, cam, max_keys=1024)
+    _, _, out = render(pc, feats, cam, )
     # with near-opaque points the 1e-4 transmittance cutoff stops blending
     # long before all 40 points are visited (reference: :457-460); the
     # saturating point itself does not contribute, so T stays >= 1e-4.
@@ -125,13 +125,13 @@ def test_blend_is_differentiable_and_grads_are_finite():
             jnp.array([[0.0, 0.0, 0.0, 1.0]]), jnp.zeros((1, 3)),
             jnp.zeros((1, 3)), cam, 0.1, 100.0)
         binning = tiling.bin_points_to_tiles(
-            attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum,
-            cam, max_keys=64, max_tiles_per_point=16)
+            attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
+            cam, max_tiles_per_point=16)
         out = blend_reference(
             binning.sorted_point_idx, binning.sorted_tile_id,
             binning.sorted_valid, attrs.uv, attrs.conic_and_rescale,
             attrs.alpha_after_activation, attrs.color,
-            attrs.xyz_camera[:, 2], cam)
+            attrs.depth, cam)
         return jnp.sum(out.image ** 2)
 
     g_pc, g_feats = jax.grad(loss_fn, argnums=(0, 1))(
@@ -164,13 +164,13 @@ def test_gradient_descent_converges_on_tiny_target():
             jnp.array([[0.0, 0.0, 0.0, 1.0]]), jnp.zeros((1, 3)),
             jnp.zeros((1, 3)), cam, 0.1, 100.0)
         binning = tiling.bin_points_to_tiles(
-            attrs.uv, attrs.xyz_camera[:, 2], attrs.radii, attrs.in_frustum,
-            cam, max_keys=128, max_tiles_per_point=16)
+            attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
+            cam, max_tiles_per_point=16)
         out = blend_reference(
             binning.sorted_point_idx, binning.sorted_tile_id,
             binning.sorted_valid, attrs.uv, attrs.conic_and_rescale,
             attrs.alpha_after_activation, attrs.color,
-            attrs.xyz_camera[:, 2], cam)
+            attrs.depth, cam)
         return jnp.mean((jnp.clip(out.image, 0, 1) - target) ** 2)
 
     val_and_grad = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))

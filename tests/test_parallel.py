@@ -40,8 +40,7 @@ def test_data_parallel_step_runs_and_matches_seq_grads():
     intr = np.array([[25.0, 0, w / 2], [0, 25.0, h / 2], [0, 0, 1]],
                     np.float32)
     cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
-    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_keys=1024,
-                           max_tiles_per_point=16)
+    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_tiles_per_point=16)
     scene = _scene()
     n = scene.capacity
     mesh = make_mesh(n_dev)

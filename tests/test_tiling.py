@@ -20,7 +20,7 @@ def test_tile_bbox_basic():
     cam = make_camera()
     uv = jnp.array([[8.0, 8.0]])     # center of tile (0, 0)
     radii = jnp.array([1.0])
-    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv, radii, cam)
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
     assert (int(mnu[0]), int(mxu[0]), int(mnv[0]), int(mxv[0])) == (0, 1, 0, 1)
 
 
@@ -28,7 +28,7 @@ def test_tile_bbox_spanning():
     cam = make_camera()
     uv = jnp.array([[16.0, 16.0]])   # on the corner of 4 tiles
     radii = jnp.array([2.0])
-    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv, radii, cam)
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
     # covers tiles u in {0,1}, v in {0,1}
     assert (int(mnu[0]), int(mxu[0]), int(mnv[0]), int(mxv[0])) == (0, 2, 0, 2)
 
@@ -39,7 +39,7 @@ def test_tile_bbox_offscreen_left_still_one_tile():
     cam = make_camera()
     uv = jnp.array([[-30.0, 8.0]])
     radii = jnp.array([2.0])
-    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv, radii, cam)
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
     assert (int(mnu[0]), int(mxu[0])) == (0, 1)
     assert int((mxu[0] - mnu[0]) * (mxv[0] - mnv[0])) == 1
 
@@ -48,7 +48,7 @@ def test_min_radius_one_pixel():
     cam = make_camera()
     uv = jnp.array([[15.9, 8.0]])
     radii = jnp.array([0.0])  # clamped to 1 px -> spans tiles 0 and 1 in u
-    mnu, mxu, _, _ = tiling.tile_bbox(uv, radii, cam)
+    mnu, mxu, _, _ = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
     assert (int(mnu[0]), int(mxu[0])) == (0, 2)
 
 
@@ -62,10 +62,10 @@ def test_bin_points_sorted_by_tile_then_depth():
     depth = jnp.array([5.0, 2.0, 1.0])
     radii = jnp.array([1.0, 1.0, 1.0])
     in_frustum = jnp.array([True, True, True])
-    b = tiling.bin_points_to_tiles(uv, depth, radii, in_frustum, cam,
-                                   max_keys=64, max_tiles_per_point=8)
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, in_frustum, cam,
+                                   max_tiles_per_point=8)
     assert int(b.total_keys) == 3
-    assert int(b.key_overflow) == 0
+    assert int(b.tile_cap_overflow) == 0
     valid = np.asarray(b.sorted_valid)
     tiles = np.asarray(b.sorted_tile_id)[valid]
     pts = np.asarray(b.sorted_point_idx)[valid]
@@ -83,8 +83,8 @@ def test_bin_points_multi_tile_emission():
     uv = jnp.array([[16.0, 16.0]])
     depth = jnp.array([3.0])
     radii = jnp.array([2.0])
-    b = tiling.bin_points_to_tiles(uv, depth, radii, jnp.array([True]), cam,
-                                   max_keys=64, max_tiles_per_point=8)
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, jnp.array([True]), cam,
+                                   max_tiles_per_point=8)
     assert int(b.total_keys) == 4
     valid = np.asarray(b.sorted_valid)
     tiles = sorted(np.asarray(b.sorted_tile_id)[valid].tolist())
@@ -97,23 +97,51 @@ def test_tile_cap_overflow_reported():
     uv = jnp.array([[32.0, 24.0]])
     depth = jnp.array([3.0])
     radii = jnp.array([100.0])  # covers all 4x3 = 12 tiles
-    b = tiling.bin_points_to_tiles(uv, depth, radii, jnp.array([True]), cam,
-                                   max_keys=64, max_tiles_per_point=8)
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, jnp.array([True]), cam,
+                                   max_tiles_per_point=8)
     assert int(b.total_keys) == 8
     assert int(b.tile_cap_overflow) == 4
 
 
-def test_key_overflow_reported():
+def test_big_point_pool_overflow_reported():
+    # more big points than the tier-B pool: excess points dropped + counted
     cam = make_camera()
-    n = 20
-    uv = jnp.tile(jnp.array([[8.0, 8.0]]), (n, 1))
+    n = 16
+    uv = jnp.tile(jnp.array([[32.0, 24.0]]), (n, 1))
     depth = jnp.arange(1, n + 1, dtype=jnp.float32)
-    radii = jnp.ones((n,))
-    b = tiling.bin_points_to_tiles(uv, depth, radii,
+    radii = jnp.full((n,), 40.0)  # each covers many tiles -> all "big"
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii,
                                    jnp.ones((n,), bool), cam,
-                                   max_keys=16, max_tiles_per_point=8)
-    assert int(b.key_overflow) == 4
-    assert int(np.asarray(b.sorted_valid).sum()) == 16
+                                   max_tiles_per_point=8,
+                                   big_point_divisor=8)  # pool = 2 entries
+    assert int(b.big_point_overflow) == 14
+    assert int(b.tile_cap_overflow) > 0
+
+
+def test_emission_ranges_are_contiguous_and_consistent():
+    # per-point [start, start+count) ranges must exactly cover the keys the
+    # point emitted (the backward pass depends on this)
+    cam = make_camera()
+    rng = np.random.default_rng(0)
+    n = 40
+    uv = jnp.array(np.stack([rng.uniform(0, 64, n),
+                             rng.uniform(0, 48, n)], 1).astype(np.float32))
+    depth = jnp.array(rng.uniform(1, 50, n).astype(np.float32))
+    radii = jnp.array(rng.uniform(0.5, 20, n).astype(np.float32))
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, jnp.ones((n,), bool),
+                                   cam, max_tiles_per_point=16,
+                                   big_point_divisor=2)
+    pos = np.asarray(b.sorted_pos)[np.asarray(b.sorted_valid)]
+    pts = np.asarray(b.sorted_point_idx)[np.asarray(b.sorted_valid)]
+    start = np.asarray(b.point_range_start)
+    count = np.asarray(b.point_emit_count)
+    # each valid key's position falls inside its point's range
+    for p, i in zip(pos, pts):
+        assert start[i] <= p < start[i] + count[i], (p, i, start[i], count[i])
+    # and counts match the number of keys per point
+    uniq, per_point = np.unique(pts, return_counts=True)
+    for i, c in zip(uniq, per_point):
+        assert count[i] == c
 
 
 def test_culled_points_emit_nothing():
@@ -122,8 +150,8 @@ def test_culled_points_emit_nothing():
     depth = jnp.array([1.0, 2.0])
     radii = jnp.array([1.0, 1.0])
     in_frustum = jnp.array([True, False])
-    b = tiling.bin_points_to_tiles(uv, depth, radii, in_frustum, cam,
-                                   max_keys=16, max_tiles_per_point=8)
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, in_frustum, cam,
+                                   max_tiles_per_point=8)
     assert int(b.total_keys) == 1
 
 
@@ -132,9 +160,9 @@ def test_depth_quantization_matches_reference():
     cam = make_camera()
     uv = jnp.array([[8.0, 8.0]])
     depth = jnp.array([1.237])
-    b = tiling.bin_points_to_tiles(uv, depth, jnp.array([1.0]),
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, jnp.array([1.0]),
                                    jnp.array([True]), cam,
                                    depth_to_sort_key_scale=100.0,
-                                   max_keys=16, max_tiles_per_point=8)
+                                   max_tiles_per_point=8)
     valid = np.asarray(b.sorted_valid)
     assert np.asarray(b.sorted_depth_key)[valid][0] == 123

@@ -46,8 +46,7 @@ def _make_synthetic_dataset(tmp_path, n_views=3, n_points=30, seed=0):
 
     intr = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], np.float32)
     cam = CameraInfo(camera_intrinsics=intr, camera_height=H, camera_width=W)
-    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_keys=1024,
-                           max_tiles_per_point=16)
+    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_tiles_per_point=16)
 
     records = []
     os.makedirs(tmp_path / "images", exist_ok=True)
@@ -105,8 +104,7 @@ def test_trainer_end_to_end(tmp_path):
         log_image_interval=10**9,
         summary_writer_log_dir=str(tmp_path / "logs"),
         rasterisation_config=RasterizerConfig(
-            near_plane=0.1, far_plane=100.0, max_keys=1024,
-            max_tiles_per_point=16),
+            near_plane=0.1, far_plane=100.0, max_tiles_per_point=16),
         adaptive_controller_config=AdaptiveControllerConfig(
             num_iterations_warm_up=10, num_iterations_densify=20,
             num_iterations_reset_alpha=10 ** 6,
