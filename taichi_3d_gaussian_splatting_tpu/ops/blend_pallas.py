@@ -174,7 +174,7 @@ def _chunk_alpha(data, px, py, start, end, chunk_global_start, chunk):
 def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
                     data_hbm,                   # (16, MAX_KEYS) in ANY/HBM
                     out_ref,                    # (1, 256, 8) VMEM block
-                    chunk_buf, dma_sem,         # scratch
+                    chunk_buf, dma_sem,         # scratch (2-slot double buffer)
                     *, chunk, tiles_per_row, interpret):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -183,6 +183,16 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
     num_chunks = jnp.where(end > start, pl.cdiv(end - aligned_start, chunk), 0)
     px, py = _tile_pixel_coords(t, tiles_per_row)
 
+    def get_dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(aligned_start + i * chunk, chunk)],
+            chunk_buf.at[slot], dma_sem.at[slot])
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0).start()
+
     def cond(state):
         i, T, sat, acc, last_eff, count = state
         return (i < num_chunks) & jnp.logical_not(jnp.all(sat > 0.5))
@@ -190,11 +200,13 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
     def body(state):
         i, T, sat, acc, last_eff, count = state
         col0 = aligned_start + i * chunk
-        copy = pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(col0, chunk)], chunk_buf, dma_sem)
-        copy.start()
-        copy.wait()
-        data = chunk_buf[:]
+
+        @pl.when(i + 1 < num_chunks)
+        def _():
+            get_dma(i + 1).start()
+
+        get_dma(i).wait()
+        data = chunk_buf[jax.lax.rem(i, 2)]
 
         a_exp, a_v, _, _, gidx = _chunk_alpha(
             data, px, py, start, end, col0, chunk)
@@ -232,7 +244,12 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
         jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),  # last effective + 1
         jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),  # valid count
     )
-    _, T, _, acc, last_eff, count = jax.lax.while_loop(cond, body, init)
+    i_final, T, _, acc, last_eff, count = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetch issued for the chunk after an early saturation exit
+    @pl.when((i_final < num_chunks) & (num_chunks > 0))
+    def _():
+        get_dma(i_final).wait()
 
     depth = acc[:, 3:4] / jnp.maximum(acc[:, 4:5], 1e-6)
     out = jnp.concatenate([
@@ -275,8 +292,8 @@ def blend_forward(point_data, tile_starts, tile_ends, *,
                                lambda t, s, e: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_DATA_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -295,7 +312,7 @@ def _backward_kernel(starts_ref, ends_ref,
                      zeros_ref,         # (16, MAX_KEYS) ANY, aliased to output
                      grad_hbm,          # output alias: (16, MAX_KEYS) ANY
                      mag_ref,           # output (1, 256, 8): mag_u, mag_v
-                     chunk_buf, grad_buf, dma_sem,
+                     chunk_buf, grad_buf, dma_sem, grad_sem,
                      *, chunk, tiles_per_row, interpret):
     del zeros_ref  # same buffer as grad_hbm (input_output_aliases)
     t = pl.program_id(0)
@@ -304,6 +321,16 @@ def _backward_kernel(starts_ref, ends_ref,
     aligned_start = (start // chunk) * chunk
     num_chunks = jnp.where(end > start, pl.cdiv(end - aligned_start, chunk), 0)
     px, py = _tile_pixel_coords(t, tiles_per_row)
+
+    def get_dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(aligned_start + i * chunk, chunk)],
+            chunk_buf.at[slot], dma_sem.at[slot])
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0).start()
 
     g_rgb = pix_ref[0, :, 0:3]        # (256, 3) image cotangent
     c_total = pix_ref[0, :, 3:6]      # (256, 3) forward output color
@@ -318,11 +345,13 @@ def _backward_kernel(starts_ref, ends_ref,
     def body(state):
         i, T, sat, Pg, mag_img = state
         col0 = aligned_start + i * chunk
-        copy = pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(col0, chunk)], chunk_buf, dma_sem)
-        copy.start()
-        copy.wait()
-        data = chunk_buf[:]
+
+        @pl.when(i + 1 < num_chunks)
+        def _():
+            get_dma(i + 1).start()
+
+        get_dma(i).wait()
+        data = chunk_buf[jax.lax.rem(i, 2)]
 
         a_exp, a_v, dx, dy, _ = _chunk_alpha(
             data, px, py, start, end, col0, chunk)
@@ -400,12 +429,12 @@ def _backward_kernel(starts_ref, ends_ref,
         # read-modify-write keeps neighbors' boundary columns intact; the
         # output buffer is donated zeros and the TPU grid runs sequentially.
         rcopy = pltpu.make_async_copy(
-            grad_hbm.at[:, pl.ds(col0, chunk)], grad_buf, dma_sem)
+            grad_hbm.at[:, pl.ds(col0, chunk)], grad_buf, grad_sem)
         rcopy.start()
         rcopy.wait()
         grad_buf[:] = grad_buf[:] + grad_slab
         wcopy = pltpu.make_async_copy(
-            grad_buf, grad_hbm.at[:, pl.ds(col0, chunk)], dma_sem)
+            grad_buf, grad_hbm.at[:, pl.ds(col0, chunk)], grad_sem)
         wcopy.start()
         wcopy.wait()
 
@@ -422,7 +451,12 @@ def _backward_kernel(starts_ref, ends_ref,
         jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),
         jnp.zeros((PIXELS_PER_TILE, 2), jnp.float32),
     )
-    _, _, _, _, mag_img = jax.lax.while_loop(cond, body, init)
+    i_final, _, _, _, mag_img = jax.lax.while_loop(cond, body, init)
+
+    @pl.when((i_final < num_chunks) & (num_chunks > 0))
+    def _():
+        get_dma(i_final).wait()
+
     mag_ref[0, :, :] = jnp.concatenate(
         [mag_img, jnp.zeros((PIXELS_PER_TILE, 6), jnp.float32)], axis=1)
 
@@ -462,8 +496,9 @@ def blend_backward(point_data, tile_starts, tile_ends, pixel_in, *,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
             pltpu.VMEM((NUM_DATA_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((NUM_DATA_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
