@@ -1,0 +1,79 @@
+"""Inference FPS benchmark.
+
+Rebuild of reference benchmark/inference_benchmark.py: loads a scene from a
+parquet *or* an official-implementation PLY checkpoint (feature reorder
+wxyz -> xyzw, f_dc/f_rest interleave - handled by
+GaussianPointCloudScene.from_ply, reference: :21-81), renders with warmup
+followed by timed iterations, and prints latency/FPS (reference: :109-160).
+
+Timing note: host-side wall clocks through the axon tunnel are unreliable
+for single dispatches, so the timed loop chains iterations with a data
+dependency and divides total wall time.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
+    from taichi_3d_gaussian_splatting_tpu.models.scene import (
+        GaussianPointCloudScene)
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        RasterizerConfig, rasterize)
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scene", type=str, required=True,
+                        help=".parquet or official-impl .ply checkpoint")
+    parser.add_argument("--width", type=int, default=976)
+    parser.add_argument("--height", type=int, default=544)
+    parser.add_argument("--focal", type=float, default=581.743)
+    parser.add_argument("--warmup", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=100)
+    args = parser.parse_args()
+
+    if args.scene.endswith(".ply"):
+        scene = GaussianPointCloudScene.from_ply(args.scene)
+    else:
+        scene = GaussianPointCloudScene.from_parquet(args.scene)
+    n = scene.capacity
+    print(f"loaded {n} points from {args.scene}")
+
+    w = args.width - args.width % 16
+    h = args.height - args.height % 16
+    intr = np.array([[args.focal, 0, w / 2], [0, args.focal, h / 2],
+                     [0, 0, 1]], np.float32)
+    cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
+    cfg = RasterizerConfig(rgb_only=True)
+    q = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t = jnp.zeros((1, 3))
+
+    fwd = jax.jit(lambda pc, feats: rasterize(
+        pc, feats, scene.point_invalid_mask, scene.point_object_id,
+        q, t, cam, cfg).image)
+
+    pc = scene.point_cloud
+    feats = scene.point_cloud_features
+    img = fwd(pc, feats)
+    img.block_until_ready()
+    for _ in range(args.warmup):
+        img = fwd(pc, feats)
+    img.block_until_ready()
+
+    t0 = time.perf_counter()
+    p = pc
+    for _ in range(args.iters):
+        img = fwd(p, feats)
+        p = pc + img[0, 0, 0] * 0.0  # chain to force sequential execution
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"{dt * 1000:.2f} ms per frame ({1.0 / dt:.1f} FPS) "
+          f"at {w}x{h}, {n} points")
+
+
+if __name__ == "__main__":
+    main()

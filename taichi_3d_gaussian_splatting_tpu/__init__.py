@@ -20,6 +20,24 @@ wanmeihuali/taichi_3d_gaussian_splatting for TPU hardware:
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: full-resolution pipelines take minutes to
+# compile; the cache makes every later process start instant. Opt out with
+# T3DGS_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("T3DGS_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "T3DGS_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "t3dgs_jax"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .camera import CameraInfo
 
 __all__ = ["CameraInfo", "__version__"]
