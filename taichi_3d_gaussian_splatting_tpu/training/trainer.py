@@ -56,6 +56,7 @@ from ..data.dataset import ImagePoseDataset, PrefetchLoader, DatasetItem
 from ..models.scene import GaussianPointCloudScene, SceneConfig
 from ..ops.rasterizer import RasterizerConfig, rasterize, rasterize_with_vjp
 from ..ops.sh import feature_sh_band_mask
+from .checkpoint import load_checkpoint, save_checkpoint
 from .controller import (AdaptiveControllerConfig, ControllerState,
                          densify_step, reset_alpha, update_stats)
 from .loss import LossFunction, LossFunctionConfig
@@ -87,6 +88,10 @@ class TrainConfig:
     summary_writer_log_dir: str = "logs"
     output_model_dir: Optional[str] = None
     seed: int = 0
+    # full-state checkpointing (scene + optimizer + controller + iteration);
+    # the reference can only restart from the scene parquet (SURVEY.md sec. 5)
+    save_full_checkpoint: bool = True
+    resume_from_checkpoint: str = ""
     rasterisation_config: RasterizerConfig = dataclasses.field(
         default_factory=RasterizerConfig)
     adaptive_controller_config: AdaptiveControllerConfig = dataclasses.field(
@@ -218,6 +223,16 @@ class GaussianPointCloudTrainer:
             _grad_group_scale(config.rasterisation_config))
         self._densify_fn = None
         self._reset_alpha_fn = None
+        self.start_iteration = 0
+        if config.resume_from_checkpoint:
+            state_template = (self.scene, self.opt_state_features,
+                             self.opt_state_positions, self.ctrl_state,
+                             self.key)
+            (restored, self.start_iteration,
+             self.best_psnr_score) = load_checkpoint(
+                config.resume_from_checkpoint, state_template)
+            (self.scene, self.opt_state_features, self.opt_state_positions,
+             self.ctrl_state, self.key) = restored
 
     # ------------------------------------------------------------------
     # jitted step construction (one executable per image shape)
@@ -327,11 +342,18 @@ class GaussianPointCloudTrainer:
         recent_losses = collections.deque(maxlen=100)
         previous_problematic_iteration = -1000
 
+        start = self.start_iteration
+        # replay the downsample schedule up to the resume point
+        for it in range(0, start):
+            if (it % config.half_downsample_factor_interval == 0
+                    and it > 0 and downsample_factor > 1):
+                downsample_factor //= 2
         try:
             from tqdm import tqdm
-            progress = tqdm(range(config.num_iterations))
+            progress = tqdm(range(start, config.num_iterations),
+                            initial=start, total=config.num_iterations)
         except ImportError:
-            progress = range(config.num_iterations)
+            progress = range(start, config.num_iterations)
 
         for iteration in progress:
             if (iteration % config.half_downsample_factor_interval == 0
@@ -422,7 +444,8 @@ class GaussianPointCloudTrainer:
                     or iteration in (5000, 7000)):  # reference: :266
                 self.validation(iteration)
 
-        self.validation(config.num_iterations)
+        self.validation(config.num_iterations,
+                        completed=config.num_iterations)
 
     # ------------------------------------------------------------------
     # validation (reference: :334-415)
@@ -439,8 +462,10 @@ class GaussianPointCloudTrainer:
             raster_cfg)
         return result
 
-    def validation(self, iteration: int):
+    def validation(self, iteration: int, completed: Optional[int] = None):
         config = self.config
+        if completed is None:
+            completed = iteration + 1  # called after finishing `iteration`
         total_loss = total_psnr = total_ssim = 0.0
         total_time = 0.0
         count = 0
@@ -485,6 +510,12 @@ class GaussianPointCloudTrainer:
             self.best_psnr_score = mean_psnr
             self.scene.to_parquet(os.path.join(
                 config.output_model_dir, "best_scene.parquet"))
+        if config.save_full_checkpoint:
+            save_checkpoint(
+                os.path.join(config.output_model_dir, "train_state.npz"),
+                (self.scene, self.opt_state_features,
+                 self.opt_state_positions, self.ctrl_state, self.key),
+                completed, self.best_psnr_score)
 
 
 class CameraInfoStatic(tuple):
