@@ -101,20 +101,33 @@ def compute_point_attributes(
     # per-object camera rotation (K small; stays a (K, 3, 3) matrix)
     R_obj = rotation_matrix_from_quaternion(
         quaternion_normalize(q_camera_pointcloud))       # (K, 3, 3)
-    obj = point_object_id
-    # componentwise gathers: 12 cheap (N,) gathers from (K,) tables
-    w00, w01, w02 = (R_obj[:, 0, 0][obj], R_obj[:, 0, 1][obj],
-                     R_obj[:, 0, 2][obj])
-    w10, w11, w12 = (R_obj[:, 1, 0][obj], R_obj[:, 1, 1][obj],
-                     R_obj[:, 1, 2][obj])
-    w20, w21, w22 = (R_obj[:, 2, 0][obj], R_obj[:, 2, 1][obj],
-                     R_obj[:, 2, 2][obj])
-    tcx = t_camera_pointcloud[:, 0][obj]
-    tcy = t_camera_pointcloud[:, 1][obj]
-    tcz = t_camera_pointcloud[:, 2][obj]
-    ox = t_pointcloud_camera[:, 0][obj]
-    oy = t_pointcloud_camera[:, 1][obj]
-    oz = t_pointcloud_camera[:, 2][obj]
+    num_objects = q_camera_pointcloud.shape[0]
+    if num_objects == 1:
+        # single-object fast path (training / standard rendering): scalars
+        # broadcast for free - per-point gathers from tiny tables are slow
+        # (~8 ns/element on TPU, i.e. tens of ms at N ~ 4e5)
+        w00, w01, w02 = R_obj[0, 0, 0], R_obj[0, 0, 1], R_obj[0, 0, 2]
+        w10, w11, w12 = R_obj[0, 1, 0], R_obj[0, 1, 1], R_obj[0, 1, 2]
+        w20, w21, w22 = R_obj[0, 2, 0], R_obj[0, 2, 1], R_obj[0, 2, 2]
+        tcx, tcy, tcz = (t_camera_pointcloud[0, 0],
+                         t_camera_pointcloud[0, 1], t_camera_pointcloud[0, 2])
+        ox, oy, oz = (t_pointcloud_camera[0, 0], t_pointcloud_camera[0, 1],
+                      t_pointcloud_camera[0, 2])
+    else:
+        # multi-object: ONE lane-gather of a packed (16, K) table -> (16, N)
+        table = jnp.stack([
+            R_obj[:, 0, 0], R_obj[:, 0, 1], R_obj[:, 0, 2],
+            R_obj[:, 1, 0], R_obj[:, 1, 1], R_obj[:, 1, 2],
+            R_obj[:, 2, 0], R_obj[:, 2, 1], R_obj[:, 2, 2],
+            t_camera_pointcloud[:, 0], t_camera_pointcloud[:, 1],
+            t_camera_pointcloud[:, 2],
+            t_pointcloud_camera[:, 0], t_pointcloud_camera[:, 1],
+            t_pointcloud_camera[:, 2],
+            jnp.zeros((num_objects,), jnp.float32),
+        ], axis=0)                                        # (16, K)
+        per_point = table[:, point_object_id]             # (16, N)
+        (w00, w01, w02, w10, w11, w12, w20, w21, w22,
+         tcx, tcy, tcz, ox, oy, oz, _) = per_point
 
     # single transposes to lane-major; every later read is an (N,) row
     pc_t = pointcloud.T                  # (3, N)

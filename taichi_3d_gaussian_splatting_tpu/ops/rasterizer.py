@@ -155,8 +155,8 @@ class _BlendBinning(NamedTuple):
     sorted_pos: jnp.ndarray          # emission positions (a permutation)
     tile_starts: jnp.ndarray
     tile_ends: jnp.ndarray
-    point_range_start: jnp.ndarray   # (N,) emission range start per point
-    point_emit_count: jnp.ndarray    # (N,) emitted key count per point
+    point_big_rank: jnp.ndarray      # (N,) tier-B pool rank per point
+    point_is_big: jnp.ndarray        # (N,) bool
 
 
 def _blend_fwd_explicit(cols, depth, binning, grid: TileGrid, chunk):
@@ -170,18 +170,18 @@ def _blend_fwd_explicit(cols, depth, binning, grid: TileGrid, chunk):
 
 
 def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
-                        n, chunk):
+                        n, t_b, n_big, chunk):
     """Run the Pallas backward and reduce per-key gradients to per-point.
 
     Scatter-free reduction (XLA scatters are ~100x slower than sorts on TPU,
     see ops/tiling.py): per-key gradients are permuted back to *emission
-    order* - where each point's keys are contiguous - via an argsort of the
-    emission positions plus a gather, then reduced per point as a cumulative
-    -sum difference over each point's [start, start+count) range. This
+    order* via an argsort of the emission positions plus one gather. In
+    emission order every point's slots are a fixed-size block (4 tier-A
+    slots; t_b tier-B slots for pooled big points), so per-point sums are
+    plain reshape-reductions - exact, no atomics, no prefix sums. This
     replaces the reference's atomic adds (reference: :675-696).
 
-    Returns per-point cotangents (duv, dconic, dlogw, dcolor) and
-    BackwardStats.
+    Returns per-point cotangent columns and BackwardStats.
     """
     g_tiles = _image_to_tiles(g_image, grid)  # (T, 256, 3)
     pixel_in = jnp.concatenate(
@@ -198,14 +198,15 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
         (binning.sorted_pos, jnp.arange(em_cap, dtype=jnp.int32)),
         num_keys=1, is_stable=True)
     grad_emission = grad_data[:, inv]                    # (16, EM_CAP)
-    csum = jnp.cumsum(grad_emission, axis=1)             # (16, EM_CAP)
-    start = binning.point_range_start                    # (N,)
-    count = binning.point_emit_count                     # (N,)
-    end_idx = jnp.clip(start + count - 1, 0, em_cap - 1)
-    hi = csum[:, end_idx]                                # (16, N)
-    lo = jnp.where(start[None, :] > 0,
-                   csum[:, jnp.clip(start - 1, 0, em_cap - 1)], 0.0)
-    per_point = jnp.where(count[None, :] > 0, hi - lo, 0.0)   # (16, N)
+    from .tiling import TIER_A_SLOTS
+    tier_a = grad_emission[:, :TIER_A_SLOTS * n].reshape(
+        16, n, TIER_A_SLOTS).sum(axis=2)                 # (16, N)
+    tier_b = grad_emission[:, TIER_A_SLOTS * n:
+                           TIER_A_SLOTS * n + t_b * n_big].reshape(
+        16, n_big, t_b).sum(axis=2)                      # (16, N_BIG)
+    from_big = jnp.where(binning.point_is_big[None, :],
+                         tier_b[:, binning.point_big_rank], 0.0)
+    per_point = tier_a + from_big                        # (16, N)
 
     cotangents = (per_point[BP.GROW_DU], per_point[BP.GROW_DV],
                   per_point[BP.GROW_DA], per_point[BP.GROW_DB],
@@ -239,7 +240,7 @@ def _blend_core(static_cfg, cols, depth, blend_binning):
 
 
 def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
-    grid, chunk, n = static_cfg
+    grid, chunk, n, t_b, n_big = static_cfg
     binning = _BlendBinning(*blend_binning)
     point_data, tile_out = _blend_fwd_explicit(cols, depth, binning, grid,
                                                chunk)
@@ -248,13 +249,13 @@ def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
 
 
 def _blend_core_bwd(static_cfg, residuals, g_tile_out):
-    grid, chunk, n = static_cfg
+    grid, chunk, n, t_b, n_big = static_cfg
     point_data, tile_out, blend_binning = residuals
     binning = _BlendBinning(*blend_binning)
     # only the rgb columns of the tile output carry gradient
     g_image = _tiles_to_image(g_tile_out[:, :, 0:3], grid)
     cotangents, _ = _blend_bwd_explicit(
-        point_data, tile_out, g_image, binning, grid, n, chunk)
+        point_data, tile_out, g_image, binning, grid, n, t_b, n_big, chunk)
     return (cotangents,
             jnp.zeros_like(cotangents[0]),          # depth: no grad
             tuple(_float0_zeros(x) for x in blend_binning))
@@ -341,12 +342,14 @@ def rasterize(
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
         color_sh_mask)
-    static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n)
+    static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n,
+                  config.max_tiles_per_point,
+                  max(n // config.big_point_divisor, 1))
     cols, depth = _blend_inputs_from_attrs(attrs)
     blend_binning = tuple(_BlendBinning(
         binning.sorted_point_idx, binning.sorted_pos,
         binning.tile_starts, binning.tile_ends,
-        binning.point_range_start, binning.point_emit_count))
+        binning.point_big_rank, binning.point_is_big))
     tile_out = _blend_core(static_cfg, cols, depth, blend_binning)
     return _result_from_tile_out(tile_out, attrs, binning, camera_info)
 
@@ -380,7 +383,7 @@ def rasterize_with_vjp(
     blend_binning = _BlendBinning(
         binning.sorted_point_idx, binning.sorted_pos,
         binning.tile_starts, binning.tile_ends,
-        binning.point_range_start, binning.point_emit_count)
+        binning.point_big_rank, binning.point_is_big)
     point_data, tile_out = _blend_fwd_explicit(
         cols, depth, blend_binning, grid, config.chunk)
     result = _result_from_tile_out(tile_out, attrs, binning, camera_info)
@@ -388,7 +391,8 @@ def rasterize_with_vjp(
     def vjp_fn(g_image):
         cotangents, stats = _blend_bwd_explicit(
             point_data, tile_out, g_image, blend_binning, grid, n,
-            config.chunk)
+            config.max_tiles_per_point,
+            max(n // config.big_point_divisor, 1), config.chunk)
         grad_pc, grad_feats = attr_vjp(cotangents)
         return grad_pc, grad_feats, stats
 

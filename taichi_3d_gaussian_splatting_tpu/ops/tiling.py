@@ -64,6 +64,8 @@ class TileBinning(NamedTuple):
     tile_ends: jnp.ndarray            # (num_tiles,) int32
     point_range_start: jnp.ndarray    # (N,) int32 emission range start
     point_emit_count: jnp.ndarray     # (N,) int32 emitted (capped) tiles
+    point_big_rank: jnp.ndarray       # (N,) int32 tier-B pool rank (or 0)
+    point_is_big: jnp.ndarray         # (N,) bool in the tier-B pool
     total_keys: jnp.ndarray           # () int32 valid keys emitted
     tile_cap_overflow: jnp.ndarray    # () int32 tiles dropped (cap + pool)
     big_point_overflow: jnp.ndarray   # () int32 points dropped by tier-B pool
@@ -181,23 +183,25 @@ def bin_points_to_tiles(
                         dv[big_ids], depth_q[big_ids], tiles_x, depth_bits)
 
     # ---- flatten + pad + one packed sort ------------------------------
+    # the point id rides through the sort as a payload: deriving it from the
+    # emission position afterwards would need an (EM_CAP,) gather from the
+    # big-point table, which is slow on TPU
     flat_keys = jnp.concatenate([keys_a.reshape(-1), keys_b.reshape(-1)])
+    ids_a = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, TIER_A_SLOTS))
+    ids_b = jnp.broadcast_to(big_ids[:, None], (n_big, t_b))
+    flat_ids = jnp.concatenate([ids_a.reshape(-1), ids_b.reshape(-1)])
     pad_len = em_cap - flat_keys.shape[0]
     flat_keys = jnp.concatenate(
         [flat_keys, jnp.full((pad_len,), INT32_MAX, jnp.int32)])
+    flat_ids = jnp.concatenate(
+        [flat_ids, jnp.zeros((pad_len,), jnp.int32)])
     positions = jnp.arange(em_cap, dtype=jnp.int32)
-    sorted_key, sorted_pos = jax.lax.sort(
-        (flat_keys, positions), num_keys=1, is_stable=True)
+    sorted_key, sorted_pos, sorted_ids = jax.lax.sort(
+        (flat_keys, positions, flat_ids), num_keys=1, is_stable=True)
 
     sorted_valid = sorted_key != INT32_MAX
-    # emission position -> point index
-    tier_b_pos = sorted_pos - TIER_A_SLOTS * n
-    b_entry = jnp.clip(tier_b_pos // t_b, 0, n_big - 1)
-    point_idx = jnp.where(sorted_pos < TIER_A_SLOTS * n,
-                          sorted_pos // TIER_A_SLOTS,
-                          big_ids[b_entry])
-    sorted_point_idx = jnp.where(sorted_valid,
-                                 jnp.clip(point_idx, 0, n - 1), 0)
+    sorted_point_idx = jnp.where(sorted_valid, sorted_ids, 0)
 
     # per-point emission range (for the backward's segmented reduction)
     point_arange = jnp.arange(n, dtype=jnp.int32)
@@ -218,6 +222,7 @@ def bin_points_to_tiles(
         point_arange * TIER_A_SLOTS)
     point_emit_count = jnp.where(
         is_pooled_big, jnp.minimum(count_full, t_b), count_a)
+    point_big_rank = jnp.where(is_pooled_big, rank_of_point, 0)
 
     tile_range_queries = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
     tile_starts = jnp.searchsorted(sorted_key, tile_range_queries,
@@ -243,6 +248,8 @@ def bin_points_to_tiles(
         tile_ends=tile_ends,
         point_range_start=point_range_start,
         point_emit_count=point_emit_count,
+        point_big_rank=point_big_rank,
+        point_is_big=is_pooled_big,
         total_keys=total_emitted,
         tile_cap_overflow=jnp.sum(count_full) - total_emitted,
         big_point_overflow=big_point_overflow,
