@@ -48,6 +48,12 @@ class CameraInfo:
         assert self.camera_height % TILE_HEIGHT == 0, (
             f"camera_height must be a multiple of {TILE_HEIGHT}")
 
+    def rescaled(self, scale_x: float, scale_y: float) -> np.ndarray:
+        intr = np.array(self.camera_intrinsics, dtype=np.float32).copy()
+        intr[0, :] *= scale_x
+        intr[1, :] *= scale_y
+        return intr
+
     def downsample(self, factor: int) -> "CameraInfo":
         """Downsampled camera with intrinsics rescaled and size cropped to a
         tile multiple (reference: GaussianPointTrainer.py:97-116)."""
@@ -66,3 +72,35 @@ class CameraInfo:
             camera_width=camera_width,
             camera_id=self.camera_id,
         )
+
+
+@dataclasses.dataclass
+class CameraView:
+    """A posed view (reference: Camera.py:14-22; unused by the reference's
+    own pipeline but part of its public API surface)."""
+    camera_view_id: int
+    T_pointcloud_camera: Any  # (4, 4) camera-to-world
+    camera_id: int
+    image_id: int
+    timestamp: int | None = None  # microseconds
+
+
+class CameraDatabase:
+    """Registry of cameras and views (reference: Camera.py:25-40)."""
+
+    def __init__(self):
+        self.camera_info_dict = {}
+        self.camera_view_dict = {}
+
+    def add_camera_info(self, camera_info: CameraInfo):
+        self.camera_info_dict[camera_info.camera_id] = camera_info
+
+    def get_camera_info(self, camera_id: int) -> CameraInfo:
+        return self.camera_info_dict[camera_id]
+
+    def add_camera_view(self, camera_view: CameraView):
+        self.camera_view_dict[camera_view.camera_view_id] = camera_view
+
+    def get_camera_view_and_info(self, camera_view_id: int):
+        view = self.camera_view_dict[camera_view_id]
+        return view, self.camera_info_dict[view.camera_id]
