@@ -386,6 +386,7 @@ class GaussianPointCloudTrainer:
                     self.scene, self.ctrl_state, stats, in_frustum,
                     depth_pts, pos_before, jnp.int32(iteration), subkey)
                 densified = True
+                self._log_histograms(iteration, stats)
                 self.logger.scalars(iteration, {
                     "densify/num_transparent": counts.num_transparent,
                     "densify/num_floaters": counts.num_floaters,
@@ -446,6 +447,29 @@ class GaussianPointCloudTrainer:
 
         self.validation(config.num_iterations,
                         completed=config.num_iterations)
+
+    def _log_histograms(self, iteration: int, stats):
+        """Gradient-group and value-group histograms at densify cadence
+        (reference: GaussianPointTrainer.py:288-332)."""
+        if self.logger.tb is None:
+            return
+        feats = np.asarray(self.scene.point_cloud_features)
+        valid = np.asarray(self.scene.point_invalid_mask) == 0
+        fv = feats[valid]
+        self.logger.histogram(iteration, "value/q", fv[:, 0:4])
+        self.logger.histogram(iteration, "value/s", fv[:, 4:7])
+        self.logger.histogram(iteration, "value/alpha", fv[:, 7])
+        self.logger.histogram(iteration, "value/sigmoid_alpha",
+                              1.0 / (1.0 + np.exp(-fv[:, 7])))
+        self.logger.histogram(iteration, "value/r", fv[:, 8:24])
+        self.logger.histogram(iteration, "value/g", fv[:, 24:40])
+        self.logger.histogram(iteration, "value/b", fv[:, 40:56])
+        self.logger.histogram(iteration, "grad/uv_grad",
+                              np.asarray(stats.grad_viewspace))
+        self.logger.histogram(iteration, "grad/uv_grad_magnitude",
+                              np.asarray(stats.magnitude_grad_viewspace))
+        self.logger.histogram(iteration, "value/num_affected_pixels",
+                              np.asarray(stats.num_affected_pixels))
 
     # ------------------------------------------------------------------
     # validation (reference: :334-415)
