@@ -58,10 +58,11 @@ class RasterizerConfig:
     grad_q_factor: float = 1.0
     grad_alpha_factor: float = 20.0
     # TPU static-shape budgets (overflow is counted, never silent):
-    # tier-B slot budget for big splats and the big-point pool size
-    # (see ops/tiling.py)
+    # tier-B slot budget for big splats, the big-point pool size, and the
+    # post-sort key budget (see ops/tiling.py)
     max_tiles_per_point: int = 32
     big_point_divisor: int = 8
+    max_keys: int = 2 ** 21
     chunk: int = 128
 
 
@@ -73,6 +74,7 @@ class RasterizerAux(NamedTuple):
     point_depth: jnp.ndarray          # (N,)
     num_overlap_tiles: jnp.ndarray    # (N,) int32
     total_keys: jnp.ndarray           # () int32
+    key_overflow: jnp.ndarray         # () int32
     big_point_overflow: jnp.ndarray   # () int32
     tile_cap_overflow: jnp.ndarray    # () int32
     pixel_accumulated_alpha: jnp.ndarray  # (H, W)
@@ -152,9 +154,10 @@ def _assemble_point_data(cols, depth, sorted_point_idx):
 
 class _BlendBinning(NamedTuple):
     sorted_point_idx: jnp.ndarray
-    sorted_pos: jnp.ndarray          # emission positions (a permutation)
+    sorted_pos: jnp.ndarray          # emission position per kept key
     tile_starts: jnp.ndarray
     tile_ends: jnp.ndarray
+    segment_lengths: jnp.ndarray     # (N + N_BIG,) keys per emission segment
     point_big_rank: jnp.ndarray      # (N,) tier-B pool rank per point
     point_is_big: jnp.ndarray        # (N,) bool
 
@@ -192,18 +195,33 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
         num_tiles=grid.num_tiles,
         tiles_per_row=grid.tiles_per_row, chunk=chunk)
 
-    em_cap = grad_data.shape[1]
-    # invert the binning sort: inv[j] = sorted index of emission position j
-    _, inv = jax.lax.sort(
-        (binning.sorted_pos, jnp.arange(em_cap, dtype=jnp.int32)),
+    mk = grad_data.shape[1]
+    # reorder kept-key gradients to emission order (compacted): valid keys
+    # sorted by emission position make every point's keys contiguous
+    # (padding keys carry a sentinel position and sort last with zero
+    # gradients). Exact per-segment edges come from a binary search over the
+    # compacted positions, which stays correct even if max_keys overflow
+    # dropped keys from the middle of segments.
+    pos_compact, perm = jax.lax.sort(
+        (binning.sorted_pos, jnp.arange(mk, dtype=jnp.int32)),
         num_keys=1, is_stable=True)
-    grad_emission = grad_data[:, inv]                    # (16, EM_CAP)
+    grad_compact = grad_data[:, perm]                    # (16, MK)
+    csum = jnp.cumsum(grad_compact, axis=1)              # (16, MK)
     from .tiling import TIER_A_SLOTS
-    tier_a = grad_emission[:, :TIER_A_SLOTS * n].reshape(
-        16, n, TIER_A_SLOTS).sum(axis=2)                 # (16, N)
-    tier_b = grad_emission[:, TIER_A_SLOTS * n:
-                           TIER_A_SLOTS * n + t_b * n_big].reshape(
-        16, n_big, t_b).sum(axis=2)                      # (16, N_BIG)
+    boundaries = jnp.concatenate([
+        jnp.arange(n + 1, dtype=jnp.int32) * TIER_A_SLOTS,
+        TIER_A_SLOTS * n + (jnp.arange(n_big, dtype=jnp.int32) + 1) * t_b,
+    ])                                                   # (N + N_BIG + 1,)
+    edges = jnp.searchsorted(pos_compact, boundaries, side="left",
+                             method="scan_unrolled").astype(jnp.int32)
+    seg_end = edges[1:]                                  # (N + N_BIG,)
+    seg_start = edges[:-1]
+    hi = csum[:, jnp.clip(seg_end - 1, 0, mk - 1)]
+    lo = jnp.where(seg_start[None, :] > 0,
+                   csum[:, jnp.clip(seg_start - 1, 0, mk - 1)], 0.0)
+    seg_sum = jnp.where((seg_end > seg_start)[None, :], hi - lo, 0.0)
+    tier_a = seg_sum[:, :n]
+    tier_b = seg_sum[:, n:]
     from_big = jnp.where(binning.point_is_big[None, :],
                          tier_b[:, binning.point_big_rank], 0.0)
     per_point = tier_a + from_big                        # (16, N)
@@ -282,6 +300,7 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         depth_to_sort_key_scale=config.depth_to_sort_key_scale,
         max_tiles_per_point=config.max_tiles_per_point,
         big_point_divisor=config.big_point_divisor,
+        max_keys=config.max_keys,
         chunk=config.chunk)
     return attrs, binning
 
@@ -315,6 +334,7 @@ def _result_from_tile_out(tile_out, attrs, binning, camera_info):
         num_overlap_tiles=jax.lax.stop_gradient(num_overlap_tiles(
             attrs.u, attrs.v, attrs.radii, attrs.in_frustum, camera_info)),
         total_keys=binning.total_keys,
+        key_overflow=binning.key_overflow,
         big_point_overflow=binning.big_point_overflow,
         tile_cap_overflow=binning.tile_cap_overflow,
         pixel_accumulated_alpha=acc_alpha,
@@ -348,7 +368,7 @@ def rasterize(
     cols, depth = _blend_inputs_from_attrs(attrs)
     blend_binning = tuple(_BlendBinning(
         binning.sorted_point_idx, binning.sorted_pos,
-        binning.tile_starts, binning.tile_ends,
+        binning.tile_starts, binning.tile_ends, binning.segment_lengths,
         binning.point_big_rank, binning.point_is_big))
     tile_out = _blend_core(static_cfg, cols, depth, blend_binning)
     return _result_from_tile_out(tile_out, attrs, binning, camera_info)
@@ -382,7 +402,7 @@ def rasterize_with_vjp(
     grid = TileGrid.from_camera(camera_info)
     blend_binning = _BlendBinning(
         binning.sorted_point_idx, binning.sorted_pos,
-        binning.tile_starts, binning.tile_ends,
+        binning.tile_starts, binning.tile_ends, binning.segment_lengths,
         binning.point_big_rank, binning.point_is_big)
     point_data, tile_out = _blend_fwd_explicit(
         cols, depth, blend_binning, grid, config.chunk)

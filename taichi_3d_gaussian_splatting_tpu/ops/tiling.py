@@ -29,10 +29,13 @@ we saturate at the narrower budget and document the coarser tie-break).
 
 The sort payload is the slot's *emission position* - a stable flattened
 index with contiguous per-point ranges (tier A point i owns [4i, 4i+count);
-tier B entry b owns [4N + T_B*b, ... + count)). The backward pass exploits
-this: per-key gradients are put back into emission order with one small
-sort + gather and reduced per point with a cumsum difference - no atomics,
-no scatter (see ops/rasterizer.py).
+tier B entry b owns [4N + T_B*b, ... + count)). After the sort, everything
+downstream is sliced to a `max_keys` budget: valid keys sort before padding,
+so the slice only ever drops real keys when the scene overflows the budget
+(counted in key_overflow, never silent). The backward pass exploits the
+emission ordering: sorting the kept keys by emission position makes every
+point's gradients contiguous, so per-point reduction is one cumulative-sum
+difference - no atomics, no scatter (see ops/rasterizer.py).
 
 Overflow is *counted and reported*, never silent: points whose bbox exceeds
 `max_tiles_per_point` tiles lose the excess (tile_cap_overflow); big points
@@ -54,19 +57,19 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 class TileBinning(NamedTuple):
-    sorted_key: jnp.ndarray           # (EM_CAP,) int32 packed tile|depth
-    sorted_tile_id: jnp.ndarray       # (EM_CAP,) int32; num_tiles = padding
-    sorted_depth_key: jnp.ndarray     # (EM_CAP,) int32 quantized depth
-    sorted_pos: jnp.ndarray           # (EM_CAP,) int32 emission position
-    sorted_point_idx: jnp.ndarray     # (EM_CAP,) int32 (clamped to [0, N))
-    sorted_valid: jnp.ndarray         # (EM_CAP,) bool
+    sorted_key: jnp.ndarray           # (MK,) int32 packed tile|depth
+    sorted_tile_id: jnp.ndarray       # (MK,) int32; num_tiles = padding
+    sorted_depth_key: jnp.ndarray     # (MK,) int32 quantized depth
+    sorted_pos: jnp.ndarray           # (MK,) int32 emission position
+    sorted_point_idx: jnp.ndarray     # (MK,) int32 (clamped to [0, N))
+    sorted_valid: jnp.ndarray         # (MK,) bool
     tile_starts: jnp.ndarray          # (num_tiles,) int32
     tile_ends: jnp.ndarray            # (num_tiles,) int32
-    point_range_start: jnp.ndarray    # (N,) int32 emission range start
-    point_emit_count: jnp.ndarray     # (N,) int32 emitted (capped) tiles
+    segment_lengths: jnp.ndarray      # (N + N_BIG,) emitted keys per segment
     point_big_rank: jnp.ndarray       # (N,) int32 tier-B pool rank (or 0)
     point_is_big: jnp.ndarray         # (N,) bool in the tier-B pool
     total_keys: jnp.ndarray           # () int32 valid keys emitted
+    key_overflow: jnp.ndarray         # () int32 keys dropped by max_keys
     tile_cap_overflow: jnp.ndarray    # () int32 tiles dropped (cap + pool)
     big_point_overflow: jnp.ndarray   # () int32 points dropped by tier-B pool
 
@@ -135,6 +138,7 @@ def bin_points_to_tiles(
     depth_to_sort_key_scale: float = 100.0,
     max_tiles_per_point: int = 32,
     big_point_divisor: int = 8,
+    max_keys: int = 2 ** 21,
     chunk: int = 128,
 ) -> TileBinning:
     u = jax.lax.stop_gradient(u)
@@ -196,10 +200,19 @@ def bin_points_to_tiles(
         [flat_keys, jnp.full((pad_len,), INT32_MAX, jnp.int32)])
     flat_ids = jnp.concatenate(
         [flat_ids, jnp.zeros((pad_len,), jnp.int32)])
-    positions = jnp.arange(em_cap, dtype=jnp.int32)
+    # padding slots get a sentinel position so the backward's
+    # sort-by-position compaction puts them after every real segment
+    positions = jnp.where(flat_keys == INT32_MAX, INT32_MAX,
+                          jnp.arange(em_cap, dtype=jnp.int32))
     sorted_key, sorted_pos, sorted_ids = jax.lax.sort(
         (flat_keys, positions, flat_ids), num_keys=1, is_stable=True)
 
+    # slice everything downstream to the max_keys budget (valid keys sort
+    # first; the slice drops real keys only on overflow, which is counted)
+    mk = min(((max_keys + chunk - 1) // chunk) * chunk, em_cap)
+    sorted_key = sorted_key[:mk]
+    sorted_pos = sorted_pos[:mk]
+    sorted_ids = sorted_ids[:mk]
     sorted_valid = sorted_key != INT32_MAX
     sorted_point_idx = jnp.where(sorted_valid, sorted_ids, 0)
 
@@ -213,26 +226,28 @@ def bin_points_to_tiles(
         (jnp.where(big_active, big_ids, INT32_MAX), big_rank),
         num_keys=1, is_stable=True)
     # searchsorted gives each point its rank slot (valid only for big points)
-    found = jnp.searchsorted(big_sorted_ids, point_arange).astype(jnp.int32)
+    found = jnp.searchsorted(big_sorted_ids, point_arange,
+                             method="scan_unrolled").astype(jnp.int32)
     found = jnp.clip(found, 0, n_big - 1)
     rank_of_point = big_sorted_rank[found]
     is_pooled_big = (big_sorted_ids[found] == point_arange) & is_big
-    point_range_start = jnp.where(
-        is_pooled_big, TIER_A_SLOTS * n + rank_of_point * t_b,
-        point_arange * TIER_A_SLOTS)
-    point_emit_count = jnp.where(
-        is_pooled_big, jnp.minimum(count_full, t_b), count_a)
     point_big_rank = jnp.where(is_pooled_big, rank_of_point, 0)
+    # per-segment emitted key counts in emission order: N tier-A segments
+    # (count_a) followed by N_BIG tier-B segments (count_b)
+    segment_lengths = jnp.concatenate([count_a, count_b])
 
-    tile_range_queries = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
-    tile_starts = jnp.searchsorted(sorted_key, tile_range_queries,
-                                   side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(
-        sorted_key,
-        (jnp.arange(num_tiles, dtype=jnp.int32) + 1) << depth_bits,
-        side="left").astype(jnp.int32)
+    # one unrolled binary search for all tile boundaries: starts[t] and
+    # ends[t] = starts[t+1] come from a single (num_tiles+1)-query search.
+    # method="scan_unrolled" matters: the default while-loop lowering costs
+    # ~1 ms per iteration in launch overhead (profiled)
+    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits
+    edges = jnp.searchsorted(sorted_key, boundaries, side="left",
+                             method="scan_unrolled").astype(jnp.int32)
+    tile_starts = edges[:-1]
+    tile_ends = edges[1:]
 
     total_emitted = jnp.sum(count_a) + jnp.sum(count_b)
+    key_overflow = jnp.maximum(total_emitted - mk, 0)
     sorted_tile_id = jnp.where(sorted_valid, sorted_key >> depth_bits,
                                num_tiles)
     sorted_depth_key = jnp.where(
@@ -246,11 +261,11 @@ def bin_points_to_tiles(
         sorted_valid=sorted_valid,
         tile_starts=tile_starts,
         tile_ends=tile_ends,
-        point_range_start=point_range_start,
-        point_emit_count=point_emit_count,
+        segment_lengths=segment_lengths,
         point_big_rank=point_big_rank,
         point_is_big=is_pooled_big,
         total_keys=total_emitted,
+        key_overflow=key_overflow,
         tile_cap_overflow=jnp.sum(count_full) - total_emitted,
         big_point_overflow=big_point_overflow,
     )

@@ -92,6 +92,12 @@ class TrainConfig:
     # the reference can only restart from the scene parquet (SURVEY.md sec. 5)
     save_full_checkpoint: bool = True
     resume_from_checkpoint: str = ""
+    # jax profiler capture (TPU analog of the reference's Taichi kernel
+    # profiler toggle, reference: GaussianPointTrainer.py:119,217-219);
+    # writes an xprof trace under <summary_writer_log_dir>/profile
+    enable_profiler: bool = False
+    profiler_start_iteration: int = 100
+    profiler_num_steps: int = 5
     rasterisation_config: RasterizerConfig = dataclasses.field(
         default_factory=RasterizerConfig)
     adaptive_controller_config: AdaptiveControllerConfig = dataclasses.field(
@@ -355,7 +361,19 @@ class GaussianPointCloudTrainer:
         except ImportError:
             progress = range(start, config.num_iterations)
 
+        profiling = False
         for iteration in progress:
+            if config.enable_profiler:
+                if iteration == config.profiler_start_iteration:
+                    jax.profiler.start_trace(os.path.join(
+                        config.summary_writer_log_dir, "profile"))
+                    profiling = True
+                elif profiling and iteration == (
+                        config.profiler_start_iteration
+                        + config.profiler_num_steps):
+                    jax.block_until_ready(self.scene.point_cloud_features)
+                    jax.profiler.stop_trace()
+                    profiling = False
             if (iteration % config.half_downsample_factor_interval == 0
                     and iteration > 0 and downsample_factor > 1):
                 downsample_factor = downsample_factor // 2
@@ -412,8 +430,14 @@ class GaussianPointCloudTrainer:
                     is_problematic = True
                     previous_problematic_iteration = iteration
 
+            now = time.perf_counter()
+            if not hasattr(self, "_last_iter_time"):
+                self._last_iter_time = now
+            iter_wall = now - self._last_iter_time
+            self._last_iter_time = now
             if iteration % config.log_loss_interval == 0:
                 self.logger.scalars(iteration, {
+                    "train/iter_wall_seconds": iter_wall,
                     "train/loss": metrics["loss"],
                     "train/l1 loss": metrics["l1"],
                     "train/ssim loss": metrics["ssim_loss"],

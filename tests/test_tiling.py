@@ -118,9 +118,9 @@ def test_big_point_pool_overflow_reported():
     assert int(b.tile_cap_overflow) > 0
 
 
-def test_emission_ranges_are_contiguous_and_consistent():
-    # per-point [start, start+count) ranges must exactly cover the keys the
-    # point emitted (the backward pass depends on this)
+def test_segment_lengths_match_emitted_keys():
+    # segment_lengths must count exactly the keys each point emitted
+    # (the backward's segmented reduction depends on this)
     cam = make_camera()
     rng = np.random.default_rng(0)
     n = 40
@@ -128,41 +128,26 @@ def test_emission_ranges_are_contiguous_and_consistent():
                              rng.uniform(0, 48, n)], 1).astype(np.float32))
     depth = jnp.array(rng.uniform(1, 50, n).astype(np.float32))
     radii = jnp.array(rng.uniform(0.5, 20, n).astype(np.float32))
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, jnp.ones((n,), bool),
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii,
+                                   jnp.ones((n,), bool),
                                    cam, max_tiles_per_point=16,
                                    big_point_divisor=2)
-    pos = np.asarray(b.sorted_pos)[np.asarray(b.sorted_valid)]
-    pts = np.asarray(b.sorted_point_idx)[np.asarray(b.sorted_valid)]
-    start = np.asarray(b.point_range_start)
-    count = np.asarray(b.point_emit_count)
-    # each valid key's position falls inside its point's range
-    for p, i in zip(pos, pts):
-        assert start[i] <= p < start[i] + count[i], (p, i, start[i], count[i])
-    # and counts match the number of keys per point
-    uniq, per_point = np.unique(pts, return_counts=True)
-    for i, c in zip(uniq, per_point):
-        assert count[i] == c
-
-
-def test_culled_points_emit_nothing():
-    cam = make_camera()
-    uv = jnp.array([[8.0, 8.0], [8.0, 8.0]])
-    depth = jnp.array([1.0, 2.0])
-    radii = jnp.array([1.0, 1.0])
-    in_frustum = jnp.array([True, False])
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, in_frustum, cam,
-                                   max_tiles_per_point=8)
-    assert int(b.total_keys) == 1
-
-
-def test_depth_quantization_matches_reference():
-    # int32 truncation of depth * scale (reference: :158-160)
-    cam = make_camera()
-    uv = jnp.array([[8.0, 8.0]])
-    depth = jnp.array([1.237])
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, jnp.array([1.0]),
-                                   jnp.array([True]), cam,
-                                   depth_to_sort_key_scale=100.0,
-                                   max_tiles_per_point=8)
     valid = np.asarray(b.sorted_valid)
-    assert np.asarray(b.sorted_depth_key)[valid][0] == 123
+    pts = np.asarray(b.sorted_point_idx)[valid]
+    seg = np.asarray(b.segment_lengths)
+    rank = np.asarray(b.point_big_rank)
+    is_big = np.asarray(b.point_is_big)
+    per_point = np.zeros(n, np.int64)
+    uniq, counts = np.unique(pts, return_counts=True)
+    per_point[uniq] = counts
+    for i in range(n):
+        expected = seg[n + rank[i]] if is_big[i] else seg[i]
+        assert per_point[i] == expected, (i, per_point[i], expected)
+    # positions of valid keys fall inside their segment's emission range
+    pos = np.asarray(b.sorted_pos)[valid]
+    for p_, i in zip(pos, pts):
+        if is_big[i]:
+            start = 4 * n + rank[i] * 16
+            assert start <= p_ < start + 16
+        else:
+            assert 4 * i <= p_ < 4 * i + 4
