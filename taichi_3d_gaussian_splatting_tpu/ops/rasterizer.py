@@ -212,8 +212,11 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
         jnp.arange(n + 1, dtype=jnp.int32) * TIER_A_SLOTS,
         TIER_A_SLOTS * n + (jnp.arange(n_big, dtype=jnp.int32) + 1) * t_b,
     ])                                                   # (N + N_BIG + 1,)
+    # method="sort" turns the search into one merge-style sort: with ~N
+    # queries the unrolled binary search would pay ~20 passes of (N,)-sized
+    # gathers (~80 ms profiled); the sort costs ~one extra 2.5M-element sort
     edges = jnp.searchsorted(pos_compact, boundaries, side="left",
-                             method="scan_unrolled").astype(jnp.int32)
+                             method="sort").astype(jnp.int32)
     seg_end = edges[1:]                                  # (N + N_BIG,)
     seg_start = edges[:-1]
     hi = csum[:, jnp.clip(seg_end - 1, 0, mk - 1)]

@@ -227,7 +227,7 @@ def bin_points_to_tiles(
         num_keys=1, is_stable=True)
     # searchsorted gives each point its rank slot (valid only for big points)
     found = jnp.searchsorted(big_sorted_ids, point_arange,
-                             method="scan_unrolled").astype(jnp.int32)
+                             method="sort").astype(jnp.int32)
     found = jnp.clip(found, 0, n_big - 1)
     rank_of_point = big_sorted_rank[found]
     is_pooled_big = (big_sorted_ids[found] == point_arange) & is_big
