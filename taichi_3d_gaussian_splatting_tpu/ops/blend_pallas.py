@@ -217,7 +217,12 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
         T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
         sat_i = positive * (T_i * one_minus <
                             TRANSMITTANCE_SATURATION).astype(jnp.float32)
-        sat_incl = _lane_cumsum_exclusive(sat_i, interpret) + sat_i
+        # the saturation-ordering scan only matters in chunks where some
+        # pixel actually saturates; skip it otherwise (the common case)
+        sat_incl = jax.lax.cond(
+            jnp.max(sat_i) > 0.5,
+            lambda s: _lane_cumsum_exclusive(s, interpret) + s,
+            lambda s: s, sat_i)
         contribute = positive * (sat_incl < 0.5) * (1.0 - sat)  # (256, chunk)
 
         weight = contribute * a_v * T_i
@@ -361,7 +366,10 @@ def _backward_kernel(starts_ref, ends_ref,
         T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
         sat_i = positive * (T_i * one_minus <
                             TRANSMITTANCE_SATURATION).astype(jnp.float32)
-        sat_incl = _lane_cumsum_exclusive(sat_i, interpret) + sat_i
+        sat_incl = jax.lax.cond(
+            jnp.max(sat_i) > 0.5,
+            lambda s: _lane_cumsum_exclusive(s, interpret) + s,
+            lambda s: s, sat_i)
         contribute = positive * (sat_incl < 0.5) * (1.0 - sat)
         weight = contribute * a_v * T_i                       # (256, chunk)
 

@@ -202,10 +202,14 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
     # gradients). Exact per-segment edges come from a binary search over the
     # compacted positions, which stays correct even if max_keys overflow
     # dropped keys from the middle of segments.
-    pos_compact, perm = jax.lax.sort(
-        (binning.sorted_pos, jnp.arange(mk, dtype=jnp.int32)),
+    # carry the 16 gradient rows through the sort as payloads: a permutation
+    # gather of (16, MK) costs ~3x more than sorting the rows along (profiled
+    # 58 ms gather vs ~20 ms 17-operand sort)
+    sorted_rows = jax.lax.sort(
+        (binning.sorted_pos, *(grad_data[i] for i in range(16))),
         num_keys=1, is_stable=True)
-    grad_compact = grad_data[:, perm]                    # (16, MK)
+    pos_compact = sorted_rows[0]
+    grad_compact = jnp.stack(sorted_rows[1:], axis=0)    # (16, MK)
     csum = jnp.cumsum(grad_compact, axis=1)              # (16, MK)
     from .tiling import TIER_A_SLOTS
     boundaries = jnp.concatenate([
@@ -219,9 +223,13 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
                              method="sort").astype(jnp.int32)
     seg_end = edges[1:]                                  # (N + N_BIG,)
     seg_start = edges[:-1]
-    hi = csum[:, jnp.clip(seg_end - 1, 0, mk - 1)]
-    lo = jnp.where(seg_start[None, :] > 0,
-                   csum[:, jnp.clip(seg_start - 1, 0, mk - 1)], 0.0)
+    # one combined gather for the hi/lo cumulative values
+    nseg = seg_end.shape[0]
+    both = csum[:, jnp.concatenate([
+        jnp.clip(seg_end - 1, 0, mk - 1),
+        jnp.clip(seg_start - 1, 0, mk - 1)])]
+    hi = both[:, :nseg]
+    lo = jnp.where(seg_start[None, :] > 0, both[:, nseg:], 0.0)
     seg_sum = jnp.where((seg_end > seg_start)[None, :], hi - lo, 0.0)
     tier_a = seg_sum[:, :n]
     tier_b = seg_sum[:, n:]
