@@ -61,6 +61,7 @@ def make_data_parallel_train_step(
     feature_optimizer,
     position_optimizer,
     axis_name: str = "data",
+    apply_grad_scaling: bool = True,
 ) -> Callable:
     """Build a jitted multi-view training step sharded over `mesh`.
 
@@ -113,6 +114,12 @@ def make_data_parallel_train_step(
         # combine across chips: the collectives ride ICI
         grad_pc = jax.lax.psum(grad_pc, axis_name)
         grad_feats = jax.lax.psum(grad_feats, axis_name)
+        if apply_grad_scaling:
+            # per-group gradient scaling, same semantics as the single-chip
+            # trainer (reference: GaussianPointCloudRasterisation.py:1105-1125)
+            from ..training.trainer import _grad_group_scale
+            grad_feats = grad_feats * jnp.asarray(
+                _grad_group_scale(raster_config))
         # controller accumulators: sum each chip's local additions
         ctrl_state = jax.tree.map(
             lambda old, new: old + jax.lax.psum(new - old, axis_name),

@@ -48,7 +48,7 @@ def test_data_parallel_step_runs_and_matches_seq_grads():
     feat_opt = optax.sgd(1e-2)  # sgd so grads are directly visible in delta
     pos_opt = optax.sgd(1e-3)
     step = make_data_parallel_train_step(mesh, cam, cfg, loss_fn, feat_opt,
-                                         pos_opt)
+                                         pos_opt, apply_grad_scaling=False)
 
     b = n_dev
     rng = np.random.default_rng(1)
