@@ -36,12 +36,17 @@ def _blur(x, win):
     win_h = jnp.asarray(win).reshape(1, -1, 1, 1)
     dn = jax.lax.conv_dimension_numbers(x.shape, win_v.shape,
                                         ("NHWC", "HWIO", "NHWC"))
+    # precision="highest" is load-bearing: TPU convs default to bf16
+    # operands, and the sigma = blur(x^2) - mu^2 cancellation then produces
+    # negative variances ~4x the SSIM stabilizer C2 (observed SSIM > 10)
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(win_v, (1, 1, 1, c)), (1, 1), "VALID",
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(win_h, (1, 1, 1, c)), (1, 1), "VALID",
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return x
 
 

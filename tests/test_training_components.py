@@ -218,3 +218,17 @@ def test_reset_alpha():
     new_scene = reset_alpha(scene, cfg)
     alpha = np.asarray(new_scene.point_cloud_features)[:, 7]
     assert (alpha <= 0.1 + 1e-6).all()
+
+
+def test_ssim_bounded_on_large_images():
+    """Regression: TPU convs default to bf16 and made sigma estimates
+    negative enough to blow past the C2 stabilizer (SSIM > 10). With pinned
+    precision SSIM must stay in [-1, 1 + eps] on any backend."""
+    rng = np.random.default_rng(7)
+    a = jnp.array(rng.random((272, 480, 3)).astype(np.float32))
+    b = jnp.clip(a + 0.05 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+    v = float(ssim(a, b))
+    assert -1.0 <= v <= 1.0 + 1e-3, v
+    const = jnp.full((272, 480, 3), 0.9)
+    v2 = float(ssim(const, jnp.clip(const + 0.001, 0, 1)))
+    assert -1.0 <= v2 <= 1.0 + 1e-3, v2
