@@ -232,8 +232,15 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)              # (256, 8)
 
-        # transmittance advances only on contribution (reference: :470)
-        T = T * _lane_prod(jnp.where(contribute > 0.0, one_minus, 1.0))
+        # transmittance advances only on contribution (reference: :470).
+        # Without saturation the contribution mask differs from "all" only
+        # at skipped points whose factor is exactly 1, so the already-
+        # computed exclusive scan gives the chunk product for free.
+        T = jax.lax.cond(
+            jnp.max(sat_i) > 0.5,
+            lambda: T * _lane_prod(
+                jnp.where(contribute > 0.0, one_minus, 1.0)),
+            lambda: T_i[:, -1:] * one_minus[:, -1:])
         eff = jnp.max(contribute * (gidx + 1).astype(jnp.float32),
                       axis=1, keepdims=True)
         last_eff = jnp.maximum(last_eff, eff)
@@ -447,7 +454,11 @@ def _backward_kernel(starts_ref, ends_ref,
         wcopy.wait()
 
         # advance carries
-        T = T * _lane_prod(jnp.where(contribute > 0.0, one_minus, 1.0))
+        T = jax.lax.cond(
+            jnp.max(sat_i) > 0.5,
+            lambda: T * _lane_prod(
+                jnp.where(contribute > 0.0, one_minus, 1.0)),
+            lambda: T_i[:, -1:] * one_minus[:, -1:])
         Pg = Pg + jnp.sum(u_map, axis=1, keepdims=True)
         sat = jnp.maximum(sat, jnp.max(sat_i, axis=1, keepdims=True))
         return (i + 1, T, sat, Pg, mag_img)

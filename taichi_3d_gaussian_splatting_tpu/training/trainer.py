@@ -430,6 +430,16 @@ class GaussianPointCloudTrainer:
                     is_problematic = True
                     previous_problematic_iteration = iteration
 
+            if iteration == 50:
+                ovf = float(metrics["big_point_overflow"])
+                tovf = float(metrics["tile_cap_overflow"])
+                keys = max(float(metrics["total_keys"]), 1.0)
+                if ovf > 0 or tovf > 0.05 * keys:
+                    print(f"WARNING: tile-binning capacity overflow "
+                          f"(big_point_overflow={ovf:.0f}, "
+                          f"tile_cap_overflow={tovf:.0f}, keys={keys:.0f}); "
+                          f"consider lowering rasterisation-config."
+                          f"big_point_divisor or raising max_tiles_per_point")
             now = time.perf_counter()
             if not hasattr(self, "_last_iter_time"):
                 self._last_iter_time = now
