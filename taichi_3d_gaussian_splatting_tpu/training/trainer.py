@@ -469,11 +469,19 @@ class GaussianPointCloudTrainer:
                     print(f"train_ssim={float(metrics['ssim'])};")
                     print(f"train_ssim_{iteration}={float(metrics['ssim'])};")
             if iteration % config.log_image_interval == 0 or is_problematic:
+                # [pred | gt | depth cmap | points-per-pixel] panel
+                # (reference: GaussianPointTrainer.py:240-263)
+                from ..utils.visualization import (easy_cmap, make_image_grid,
+                                                   normalized_gray)
                 tag = ("train/image_problematic" if is_problematic
                        else "train/image")
-                grid = np.concatenate([
-                    np.asarray(pred_image), np.asarray(item.image)], axis=1)
-                self.logger.image(iteration, tag, grid)
+                panel = make_image_grid([
+                    np.asarray(pred_image), np.asarray(item.image),
+                    easy_cmap(np.asarray(depth_map)),
+                    normalized_gray(np.asarray(valid_count_map)),
+                    np.abs(np.asarray(pred_image) - np.asarray(item.image)),
+                ], nrow=2)
+                self.logger.image(iteration, tag, panel)
 
             if ((iteration % config.val_interval == 0 and iteration != 0)
                     or iteration in (5000, 7000)):  # reference: :266
