@@ -210,27 +210,46 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
         num_keys=1, is_stable=True)
     pos_compact = sorted_rows[0]
     grad_compact = jnp.stack(sorted_rows[1:], axis=0)    # (16, MK)
-    csum = jnp.cumsum(grad_compact, axis=1)              # (16, MK)
-    from .tiling import TIER_A_SLOTS
+    from .tiling import TIER_A_SLOTS, INT32_MAX
+
+    # segmented inclusive prefix sum via log-doubling shift-adds: segments
+    # are contiguous and at most max(4, t_b) long, so ceil(log2) masked
+    # shifts replace a global (16, MK) cumsum (which profiled at ~22 ms)
+    # and make the value at each segment's last row the full segment sum.
+    sid = jnp.where(
+        pos_compact == INT32_MAX, INT32_MAX,
+        jnp.where(pos_compact < TIER_A_SLOTS * n,
+                  pos_compact // TIER_A_SLOTS,
+                  n + (pos_compact - TIER_A_SLOTS * n) // t_b))
+    acc = grad_compact
+    max_seg = max(TIER_A_SLOTS, t_b)
+    shift = 1
+    while shift < max_seg:
+        same = jnp.concatenate([
+            jnp.zeros((shift,), bool),
+            sid[shift:] == sid[:-shift]])                # (MK,)
+        shifted = jnp.concatenate([
+            jnp.zeros((16, shift), acc.dtype), acc[:, :-shift]], axis=1)
+        acc = acc + jnp.where(same[None, :], shifted, 0.0)
+        shift *= 2
+
+    # segment end indices: without key overflow the kept keys are exactly
+    # the emitted ones, so ends are just the running count totals; the
+    # overflow fallback does an exact merge-sort search
+    seg_len = binning.segment_lengths
+    nseg = seg_len.shape[0]
     boundaries = jnp.concatenate([
-        jnp.arange(n + 1, dtype=jnp.int32) * TIER_A_SLOTS,
+        (jnp.arange(n, dtype=jnp.int32) + 1) * TIER_A_SLOTS,
         TIER_A_SLOTS * n + (jnp.arange(n_big, dtype=jnp.int32) + 1) * t_b,
-    ])                                                   # (N + N_BIG + 1,)
-    # method="sort" turns the search into one merge-style sort: with ~N
-    # queries the unrolled binary search would pay ~20 passes of (N,)-sized
-    # gathers (~80 ms profiled); the sort costs ~one extra 2.5M-element sort
-    edges = jnp.searchsorted(pos_compact, boundaries, side="left",
-                             method="sort").astype(jnp.int32)
-    seg_end = edges[1:]                                  # (N + N_BIG,)
-    seg_start = edges[:-1]
-    # one combined gather for the hi/lo cumulative values
-    nseg = seg_end.shape[0]
-    both = csum[:, jnp.concatenate([
-        jnp.clip(seg_end - 1, 0, mk - 1),
-        jnp.clip(seg_start - 1, 0, mk - 1)])]
-    hi = both[:, :nseg]
-    lo = jnp.where(seg_start[None, :] > 0, both[:, nseg:], 0.0)
-    seg_sum = jnp.where((seg_end > seg_start)[None, :], hi - lo, 0.0)
+    ])                                                   # (N + N_BIG,)
+    seg_end = jax.lax.cond(
+        jnp.sum(seg_len) <= mk,
+        lambda: jnp.cumsum(seg_len),
+        lambda: jnp.searchsorted(pos_compact, boundaries, side="left",
+                                 method="sort").astype(jnp.int32))
+    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), seg_end[:-1]])
+    hi = acc[:, jnp.clip(seg_end - 1, 0, mk - 1)]
+    seg_sum = jnp.where((seg_end > seg_start)[None, :], hi, 0.0)
     tier_a = seg_sum[:, :n]
     tier_b = seg_sum[:, n:]
     from_big = jnp.where(binning.point_is_big[None, :],

@@ -249,3 +249,25 @@ def test_empty_scene_renders_zeros():
                        cam, CONFIG)
     assert float(jnp.abs(result.image).max()) == 0.0
     assert int(result.aux.total_keys) == 0
+
+
+def test_key_overflow_path_is_finite_and_reported():
+    """Force the max_keys budget to overflow: the render must stay finite,
+    report the overflow, and gradients must not blow up (the slow-path
+    segmented reduction handles dropped keys exactly)."""
+    cam = make_camera(16, 16)
+    pc, feats = random_scene(80, seed=12, alpha=1.0)
+    cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0,
+                           max_tiles_per_point=16, max_keys=128, chunk=128)
+    n = pc.shape[0]
+    obj = jnp.zeros((n,), jnp.int32)
+    inv = jnp.zeros((n,), jnp.int8)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+    result, vjp_fn = rasterize_with_vjp(
+        jnp.array(pc), jnp.array(feats), inv, obj, q_cam, t_cam, cam, cfg)
+    assert int(result.aux.key_overflow) > 0
+    assert np.isfinite(np.asarray(result.image)).all()
+    gp, gf, stats = vjp_fn(jnp.ones((16, 16, 3)))
+    assert np.isfinite(np.asarray(gp)).all()
+    assert np.isfinite(np.asarray(gf)).all()
