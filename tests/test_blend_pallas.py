@@ -256,7 +256,7 @@ def test_key_overflow_path_is_finite_and_reported():
     report the overflow, and gradients must not blow up (the slow-path
     segmented reduction handles dropped keys exactly)."""
     cam = make_camera(16, 16)
-    pc, feats = random_scene(80, seed=12, alpha=1.0)
+    pc, feats = random_scene(400, seed=12, alpha=1.0)
     cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0,
                            max_tiles_per_point=16, max_keys=128, chunk=128)
     n = pc.shape[0]
