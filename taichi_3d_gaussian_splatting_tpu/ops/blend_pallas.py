@@ -37,7 +37,6 @@ Gradient conventions copied from the reference backward:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -273,10 +272,6 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
         count,                  # valid point count (as float)
     ], axis=1)
     out_ref[0, :, :] = out
-
-
-class TileBlendOutputs(NamedTuple):
-    tile_out: jnp.ndarray  # (num_tiles, 256, 8) float32
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "tiles_per_row",
