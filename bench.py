@@ -60,8 +60,12 @@ def main():
     intr = np.array([[581.7, 0, w / 2], [0, 581.7, h / 2], [0, 0, 1]],
                     np.float32)
     cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
+    # capacity knobs sized to the measured workload (~640k keys) with >50%
+    # headroom; training uses the larger defaults
     cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
                            max_tiles_per_point=32,
+                           big_point_divisor=16,
+                           max_keys=2 ** 20,
                            rgb_only=True)
 
     pc, feats = load_scene()
@@ -73,6 +77,13 @@ def main():
 
     fwd = jax.jit(lambda p, f: rasterize(
         p, f, invalid, obj, q_cam, t_cam, cam, cfg).image)
+    # guard: the FPS number must not come from dropped work
+    import sys
+    probe = rasterize(pc, feats, invalid, obj, q_cam, t_cam, cam, cfg)
+    dropped = int(probe.aux.key_overflow) + int(probe.aux.big_point_overflow)
+    if dropped > 0:
+        print(f"WARNING: {dropped} keys/points dropped by capacity budgets; "
+              f"raise max_keys/big_point_divisor", file=sys.stderr)
     # warmup (compile + cache)
     img = fwd(pc, feats)
     img.block_until_ready()
