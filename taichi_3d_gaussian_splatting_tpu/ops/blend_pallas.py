@@ -88,10 +88,12 @@ def _use_interpret() -> bool:
 
 
 def _shift_right_lanes(x, k, fill, interpret):
-    """Shift columns right by k, filling `fill` (no wraparound)."""
+    """Shift columns right by k, filling `fill` (no wraparound). The fill
+    mask is built (1, C) and broadcast into the select - a full-size iota per
+    scan step costs ~3x the select itself on the VPU."""
     rolled = jnp.roll(x, k, 1) if interpret else pltpu.roll(x, k, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane < k, fill, rolled)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
+    return jnp.where(lane < k, jnp.full_like(x, fill), rolled)
 
 
 def _lane_cumsum_exclusive(x, interpret=False):
@@ -106,14 +108,33 @@ def _lane_cumsum_exclusive(x, interpret=False):
     return acc
 
 
-def _lane_prod(x):
-    """Row-wise product over lanes via a halving tree of exact f32 multiplies
-    (Mosaic has no reduce_prod lowering)."""
-    c = x.shape[1]
-    while c > 1:
-        c //= 2
-        x = x[:, :c] * x[:, c:2 * c]
-    return x  # (rows, 1)
+def _saturation_masks(a_v, T_i, one_minus, T, sat):
+    """Scan-free saturation semantics.
+
+    tnext = T_i * (1 - a) is non-increasing along the chunk, so "some positive
+    lane before me saturated" is simply "my tnext < threshold" for positive
+    lanes - the prefix-count scan the reference's per-thread `break` would
+    otherwise require collapses to one compare. The saturating lane itself
+    does not contribute (reference: :457-460) and the transmittance carry
+    only advances on contribution (reference: :470): the post-chunk T is the
+    T_i of the first saturating lane (the row-max of T_i over hits, since T_i
+    is non-increasing too), or tnext's last lane if nothing saturated, frozen
+    entirely once the pixel latched in an earlier chunk.
+
+    Returns (contribute, T_new, sat_new), shapes (256, C)/(256, 1)/(256, 1).
+    """
+    tnext = T_i * one_minus
+    positive = (a_v > 0.0).astype(jnp.float32)
+    hit = positive * (tnext < TRANSMITTANCE_SATURATION).astype(jnp.float32)
+    contribute = (positive
+                  * (tnext >= TRANSMITTANCE_SATURATION).astype(jnp.float32)
+                  * (1.0 - sat))
+    row_hit = jnp.max(hit, axis=1, keepdims=True)
+    T_at_hit = jnp.max(T_i * hit, axis=1, keepdims=True)
+    T_new = jnp.where(row_hit > 0.5, T_at_hit, tnext[:, -1:])
+    T_new = jnp.where(sat > 0.5, T, T_new)
+    sat_new = jnp.maximum(sat, row_hit)
+    return contribute, T_new, sat_new
 
 
 def _lane_cumprod_exclusive(x, interpret=False):
@@ -210,19 +231,11 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
         a_exp, a_v, _, _, gidx = _chunk_alpha(
             data, px, py, start, end, col0, chunk)
         one_minus = 1.0 - a_v                                # (256, chunk)
-        positive = (a_v > 0.0).astype(jnp.float32)
 
-        # prefix scans along the chunk (VPU doubling scans)
+        # transmittance recursion via one VPU doubling scan; saturation
+        # handled scan-free (see _saturation_masks)
         T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
-        sat_i = positive * (T_i * one_minus <
-                            TRANSMITTANCE_SATURATION).astype(jnp.float32)
-        # the saturation-ordering scan only matters in chunks where some
-        # pixel actually saturates; skip it otherwise (the common case)
-        sat_incl = jax.lax.cond(
-            jnp.max(sat_i) > 0.5,
-            lambda s: _lane_cumsum_exclusive(s, interpret) + s,
-            lambda s: s, sat_i)
-        contribute = positive * (sat_incl < 0.5) * (1.0 - sat)  # (256, chunk)
+        contribute, T, sat = _saturation_masks(a_v, T_i, one_minus, T, sat)
 
         weight = contribute * a_v * T_i
         slab = data[8:16, :]                                  # r,g,b,depth,one
@@ -231,20 +244,10 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)              # (256, 8)
 
-        # transmittance advances only on contribution (reference: :470).
-        # Without saturation the contribution mask differs from "all" only
-        # at skipped points whose factor is exactly 1, so the already-
-        # computed exclusive scan gives the chunk product for free.
-        T = jax.lax.cond(
-            jnp.max(sat_i) > 0.5,
-            lambda: T * _lane_prod(
-                jnp.where(contribute > 0.0, one_minus, 1.0)),
-            lambda: T_i[:, -1:] * one_minus[:, -1:])
         eff = jnp.max(contribute * (gidx + 1).astype(jnp.float32),
                       axis=1, keepdims=True)
         last_eff = jnp.maximum(last_eff, eff)
         count = count + jnp.sum(contribute, axis=1, keepdims=True)
-        sat = jnp.maximum(sat, jnp.max(sat_i, axis=1, keepdims=True))
         return (i + 1, T, sat, acc, last_eff, count)
 
     init = (
@@ -287,6 +290,134 @@ def blend_forward(point_data, tile_starts, tile_ends, *,
     assert max_keys % chunk == 0, "MAX_KEYS must be a multiple of chunk"
     interpret = _use_interpret()
     kernel = functools.partial(_forward_kernel, chunk=chunk,
+                               tiles_per_row=tiles_per_row,
+                               interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, PIXELS_PER_TILE, 8),
+                               lambda t, s, e: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIXELS_PER_TILE, 8),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tile_starts, tile_ends, point_data)
+    return out
+
+
+def _forward_rgb_kernel(starts_ref, ends_ref,     # scalar prefetch (SMEM)
+                        data_hbm,                 # (16, MAX_KEYS) ANY/HBM
+                        out_ref,                  # (1, 256, 8) VMEM block
+                        chunk_buf, dma_sem,       # 2-slot double buffer
+                        *, chunk, tiles_per_row, interpret):
+    """Inference-only forward blend (reference rgb_only template flag,
+    reference: GaussianPointCloudRasterisation.py:342,409,464).
+
+    Differences from `_forward_kernel`:
+    - conic rows arrive pre-scaled (A = -a/2, B = -b, C = -c/2), saving the
+      per-(pixel, key) negations and halvings in the exponent;
+    - no last-effective-offset / valid-count bookkeeping (backward-only
+      outputs, skipped exactly like the reference's rgb_only template).
+    """
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    aligned_start = (start // chunk) * chunk
+    num_chunks = jnp.where(end > start, pl.cdiv(end - aligned_start, chunk), 0)
+    px, py = _tile_pixel_coords(t, tiles_per_row)
+
+    def get_dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(aligned_start + i * chunk, chunk)],
+            chunk_buf.at[slot], dma_sem.at[slot])
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0).start()
+
+    def cond(state):
+        i, T, sat, acc = state
+        return (i < num_chunks) & jnp.logical_not(jnp.all(sat > 0.5))
+
+    def body(state):
+        i, T, sat, acc = state
+        col0 = aligned_start + i * chunk
+
+        @pl.when(i + 1 < num_chunks)
+        def _():
+            get_dma(i + 1).start()
+
+        get_dma(i).wait()
+        data = chunk_buf[jax.lax.rem(i, 2)]
+
+        dx = px - data[ROW_U:ROW_U + 1, :]
+        dy = py - data[ROW_V:ROW_V + 1, :]
+        exponent = ((data[ROW_A:ROW_A + 1, :] * dx
+                     + data[ROW_B:ROW_B + 1, :] * dy) * dx
+                    + (data[ROW_C:ROW_C + 1, :] * dy * dy
+                       + data[ROW_LOGW:ROW_LOGW + 1, :]))
+        a_exp = jnp.exp(exponent)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        gidx = col0 + lane
+        in_segment = (gidx >= start) & (gidx < end)
+        a_v = jnp.where(in_segment & (a_exp >= ALPHA_SKIP_THRESHOLD),
+                        jnp.minimum(a_exp, ALPHA_CLAMP), 0.0)
+        one_minus = 1.0 - a_v
+        T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
+        contribute, T, sat = _saturation_masks(a_v, T_i, one_minus, T, sat)
+        weight = contribute * a_v * T_i
+        acc = acc + jax.lax.dot_general(
+            weight, data[8:16, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return (i + 1, T, sat, acc)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((PIXELS_PER_TILE, 1), jnp.float32),   # T
+        jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),  # saturated latch
+        jnp.zeros((PIXELS_PER_TILE, 8), jnp.float32),  # acc slab
+    )
+    i_final, T, _, acc = jax.lax.while_loop(cond, body, init)
+
+    @pl.when((i_final < num_chunks) & (num_chunks > 0))
+    def _():
+        get_dma(i_final).wait()
+
+    zeros = jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32)
+    out_ref[0, :, :] = jnp.concatenate([
+        acc[:, 0:3],            # r, g, b
+        zeros,                  # depth (not computed in rgb_only)
+        1.0 - T,                # accumulated alpha
+        acc[:, 4:5],            # weight normalization
+        zeros, zeros,           # last_eff / count (not computed)
+    ], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "tiles_per_row",
+                                             "chunk"))
+def blend_forward_rgb(point_data, tile_starts, tile_ends, *,
+                      num_tiles, tiles_per_row, chunk=128):
+    """rgb_only forward: point_data rows 2..4 must hold the PRE-SCALED conic
+    (A, B, C) = (-a/2, -b, -c/2). Returns (num_tiles, 256, 8) with the
+    backward-only columns (depth, last_eff, count) zeroed."""
+    assert point_data.shape[0] == NUM_DATA_ROWS
+    max_keys = point_data.shape[1]
+    assert max_keys % chunk == 0, "MAX_KEYS must be a multiple of chunk"
+    interpret = _use_interpret()
+    kernel = functools.partial(_forward_rgb_kernel, chunk=chunk,
                                tiles_per_row=tiles_per_row,
                                interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -363,16 +494,10 @@ def _backward_kernel(starts_ref, ends_ref,
         a_exp, a_v, dx, dy, _ = _chunk_alpha(
             data, px, py, start, end, col0, chunk)
         one_minus = 1.0 - a_v
-        positive = (a_v > 0.0).astype(jnp.float32)
 
         T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
-        sat_i = positive * (T_i * one_minus <
-                            TRANSMITTANCE_SATURATION).astype(jnp.float32)
-        sat_incl = jax.lax.cond(
-            jnp.max(sat_i) > 0.5,
-            lambda s: _lane_cumsum_exclusive(s, interpret) + s,
-            lambda s: s, sat_i)
-        contribute = positive * (sat_incl < 0.5) * (1.0 - sat)
+        contribute, T_next, sat_next = _saturation_masks(
+            a_v, T_i, one_minus, T, sat)
         weight = contribute * a_v * T_i                       # (256, chunk)
 
         # cg[px, i] = sum_ch color[i, ch] * g[px, ch]
@@ -449,14 +574,8 @@ def _backward_kernel(starts_ref, ends_ref,
         wcopy.wait()
 
         # advance carries
-        T = jax.lax.cond(
-            jnp.max(sat_i) > 0.5,
-            lambda: T * _lane_prod(
-                jnp.where(contribute > 0.0, one_minus, 1.0)),
-            lambda: T_i[:, -1:] * one_minus[:, -1:])
         Pg = Pg + jnp.sum(u_map, axis=1, keepdims=True)
-        sat = jnp.maximum(sat, jnp.max(sat_i, axis=1, keepdims=True))
-        return (i + 1, T, sat, Pg, mag_img)
+        return (i + 1, T_next, sat_next, Pg, mag_img)
 
     init = (
         jnp.zeros((), jnp.int32),

@@ -136,11 +136,14 @@ def _image_to_tiles(image, grid: TileGrid):
 
 
 def _assemble_point_data(cols, depth, sorted_point_idx):
-    """Gather per-point attribute columns into the (16, EM_CAP) sorted slab.
+    """Gather per-point attribute columns into the (16, MK) sorted slab.
 
     cols = (u, v, conic_a, conic_b, conic_c, logw, color_r, color_g, color_b),
     each (N,). The stack is lane-major (16, N) - no tile padding - and the
-    gather along the lane dim is a single pass over the slab."""
+    gather cost is ~5 ns per *index* on v5e (independent of the row count up
+    to the 16-sublane tile), so everything rides one gather. Carrying the
+    columns through the binning sort as payload operands instead was measured
+    slower (~1.7 ms per extra sort operand at 2.6M keys)."""
     u, v, ca, cb, cc, logw, cr, cg, cb_col = cols
     zeros = jnp.zeros_like(logw)
     rows = jnp.stack([
@@ -202,14 +205,20 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
     # gradients). Exact per-segment edges come from a binary search over the
     # compacted positions, which stays correct even if max_keys overflow
     # dropped keys from the middle of segments.
-    # carry the 16 gradient rows through the sort as payloads: a permutation
+    # carry the gradient rows through the sort as payloads: a permutation
     # gather of (16, MK) costs ~3x more than sorting the rows along (profiled
-    # 58 ms gather vs ~20 ms 17-operand sort)
+    # 58 ms gather vs ~20 ms sort); only the 11 non-zero GROW_* rows ride
+    # (each extra operand costs ~0.7 ns/key on v5e)
+    live_rows = (BP.GROW_DU, BP.GROW_DV, BP.GROW_DA, BP.GROW_DB, BP.GROW_DC,
+                 BP.GROW_DLOGW, BP.GROW_DR, BP.GROW_DG, BP.GROW_DB_COL,
+                 BP.GROW_MAG_UV, BP.GROW_NUM_PIXELS)
+    row_of = {r: i for i, r in enumerate(live_rows)}
     sorted_rows = jax.lax.sort(
-        (binning.sorted_pos, *(grad_data[i] for i in range(16))),
+        (binning.sorted_pos, *(grad_data[i] for i in live_rows)),
         num_keys=1, is_stable=True)
     pos_compact = sorted_rows[0]
-    grad_compact = jnp.stack(sorted_rows[1:], axis=0)    # (16, MK)
+    grad_compact = jnp.stack(sorted_rows[1:], axis=0)    # (11, MK)
+    num_live = len(live_rows)
     from .tiling import TIER_A_SLOTS, INT32_MAX
 
     # segmented inclusive prefix sum via log-doubling shift-adds: segments
@@ -229,7 +238,7 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
             jnp.zeros((shift,), bool),
             sid[shift:] == sid[:-shift]])                # (MK,)
         shifted = jnp.concatenate([
-            jnp.zeros((16, shift), acc.dtype), acc[:, :-shift]], axis=1)
+            jnp.zeros((num_live, shift), acc.dtype), acc[:, :-shift]], axis=1)
         acc = acc + jnp.where(same[None, :], shifted, 0.0)
         shift *= 2
 
@@ -254,18 +263,18 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
     tier_b = seg_sum[:, n:]
     from_big = jnp.where(binning.point_is_big[None, :],
                          tier_b[:, binning.point_big_rank], 0.0)
-    per_point = tier_a + from_big                        # (16, N)
+    per_point = tier_a + from_big                        # (num_live, N)
 
-    cotangents = (per_point[BP.GROW_DU], per_point[BP.GROW_DV],
-                  per_point[BP.GROW_DA], per_point[BP.GROW_DB],
-                  per_point[BP.GROW_DC], per_point[BP.GROW_DLOGW],
-                  per_point[BP.GROW_DR], per_point[BP.GROW_DG],
-                  per_point[BP.GROW_DB_COL])
+    cotangents = tuple(per_point[row_of[r]] for r in (
+        BP.GROW_DU, BP.GROW_DV, BP.GROW_DA, BP.GROW_DB, BP.GROW_DC,
+        BP.GROW_DLOGW, BP.GROW_DR, BP.GROW_DG, BP.GROW_DB_COL))
     stats = BackwardStats(
         grad_viewspace=jnp.stack(
-            [per_point[BP.GROW_DU], per_point[BP.GROW_DV]], axis=-1),
-        magnitude_grad_viewspace=per_point[BP.GROW_MAG_UV],
-        num_affected_pixels=per_point[BP.GROW_NUM_PIXELS].astype(jnp.int32),
+            [per_point[row_of[BP.GROW_DU]], per_point[row_of[BP.GROW_DV]]],
+            axis=-1),
+        magnitude_grad_viewspace=per_point[row_of[BP.GROW_MAG_UV]],
+        num_affected_pixels=per_point[
+            row_of[BP.GROW_NUM_PIXELS]].astype(jnp.int32),
         magnitude_grad_viewspace_on_image=_tiles_to_image(
             mag_image_tiles, grid)[:, :, 0:2],
     )
@@ -273,6 +282,8 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
 
 
 def _float0_zeros(x):
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
@@ -306,7 +317,7 @@ def _blend_core_bwd(static_cfg, residuals, g_tile_out):
         point_data, tile_out, g_image, binning, grid, n, t_b, n_big, chunk)
     return (cotangents,
             jnp.zeros_like(cotangents[0]),          # depth: no grad
-            tuple(_float0_zeros(x) for x in blend_binning))
+            jax.tree.map(_float0_zeros, blend_binning))
 
 
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
@@ -324,6 +335,7 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         q_cam, t_cam, t_pointcloud_camera, camera_info,
         config.near_plane, config.far_plane, color_sh_mask)
+    cols, depth = _blend_inputs_from_attrs(attrs)
     binning = bin_points_to_tiles(
         attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
         camera_info,
@@ -331,8 +343,9 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         max_tiles_per_point=config.max_tiles_per_point,
         big_point_divisor=config.big_point_divisor,
         max_keys=config.max_keys,
-        chunk=config.chunk)
-    return attrs, binning
+        chunk=config.chunk,
+        for_backward=not config.rgb_only)
+    return attrs, cols, depth, binning
 
 
 def _blend_inputs_from_attrs(attrs):
@@ -388,19 +401,36 @@ def rasterize(
     jax.grad (equivalent of reference forward, :1184-1204)."""
     camera_info.validate()
     n = pointcloud.shape[0]
-    attrs, binning = _project_and_bin(
+    attrs, cols, depth, binning = _project_and_bin(
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
         color_sh_mask)
     static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n,
                   config.max_tiles_per_point,
                   max(n // config.big_point_divisor, 1))
-    cols, depth = _blend_inputs_from_attrs(attrs)
-    blend_binning = tuple(_BlendBinning(
+    blend_binning = _BlendBinning(
         binning.sorted_point_idx, binning.sorted_pos,
         binning.tile_starts, binning.tile_ends, binning.segment_lengths,
-        binning.point_big_rank, binning.point_is_big))
-    tile_out = _blend_core(static_cfg, cols, depth, blend_binning)
+        binning.point_big_rank, binning.point_is_big)
+    if config.rgb_only:
+        # inference fast path (reference rgb_only template flag,
+        # reference: GaussianPointCloudRasterisation.py:342,409,464):
+        # no VJP machinery, no gradient routing metadata, lean kernel with
+        # pre-scaled conic rows
+        grid = TileGrid.from_camera(camera_info)
+        u, v, ca, cb, cc, logw, cr, cg, cb_col = (
+            jax.lax.stop_gradient(c) for c in cols)
+        rgb_cols = (u, v, -0.5 * ca, -cb, -0.5 * cc, logw, cr, cg, cb_col)
+        point_data = _assemble_point_data(
+            rgb_cols, jax.lax.stop_gradient(depth),
+            blend_binning.sorted_point_idx)
+        tile_out = BP.blend_forward_rgb(
+            point_data, blend_binning.tile_starts, blend_binning.tile_ends,
+            num_tiles=grid.num_tiles, tiles_per_row=grid.tiles_per_row,
+            chunk=config.chunk)
+    else:
+        tile_out = _blend_core(static_cfg, cols, depth,
+                               tuple(blend_binning))
     return _result_from_tile_out(tile_out, attrs, binning, camera_info)
 
 
@@ -416,14 +446,16 @@ def rasterize_with_vjp(
     masking (reference: :1102-1125) are applied by the caller (trainer).
     """
     camera_info.validate()
+    if config.rgb_only:
+        # gradients need the routing metadata the rgb_only binning skips
+        config = dataclasses.replace(config, rgb_only=False)
     n = pointcloud.shape[0]
 
     def attr_fn(pc, feats):
-        attrs, binning = _project_and_bin(
+        attrs, cols, depth, binning = _project_and_bin(
             pc, feats, point_invalid_mask, point_object_id,
             q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
             color_sh_mask)
-        cols, depth = _blend_inputs_from_attrs(attrs)
         return cols, (attrs, binning, depth)
 
     cols, attr_vjp, (attrs, binning, depth) = jax.vjp(

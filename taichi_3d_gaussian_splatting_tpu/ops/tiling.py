@@ -119,13 +119,16 @@ def _slot_div_mod(slots, dv):
 
 
 def _emit_tier(slots, count, min_u, min_v, dv, depth_q, tiles_x, depth_bits):
-    """Slot grid -> packed keys. Emission order matches the reference
-    (tile_u outer, tile_v inner, reference: :161-172)."""
-    valid = slots < count[:, None]
-    du_idx, dv_idx = _slot_div_mod(slots, jnp.maximum(dv, 1)[:, None])
-    tile = (min_v[:, None] + dv_idx) * tiles_x + (min_u[:, None] + du_idx)
-    key = tile * (1 << depth_bits) + depth_q[:, None]
-    return jnp.where(valid, key, INT32_MAX)
+    """Slot grid -> packed keys, laid out (S, N) so the minor (lane) dim is
+    the point dim (a (N, S) layout would put S<128 on the lanes and pad 32x).
+    Emission order within a point matches the reference (tile_u outer, tile_v
+    inner, reference: :161-172); the *memory* order is slot-major, but every
+    consumer keys off the emission-position values, not the layout."""
+    valid = slots[:, None] < count[None, :]
+    du_idx, dv_idx = _slot_div_mod(slots[:, None], jnp.maximum(dv, 1)[None, :])
+    tile = (min_v[None, :] + dv_idx) * tiles_x + (min_u[None, :] + du_idx)
+    key = tile * (1 << depth_bits) + depth_q[None, :]
+    return jnp.where(valid, key, INT32_MAX), valid
 
 
 def bin_points_to_tiles(
@@ -140,7 +143,12 @@ def bin_points_to_tiles(
     big_point_divisor: int = 8,
     max_keys: int = 2 ** 21,
     chunk: int = 128,
+    for_backward: bool = True,
 ) -> TileBinning:
+    """for_backward=False (inference) drops everything only the gradient
+    routing needs: the emission-position sort operand (measured ~1.7 ms per
+    operand at 2.6M keys on v5e) and the big-point rank tables. The
+    corresponding TileBinning fields come back as zeros."""
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     depth = jax.lax.stop_gradient(depth)
@@ -162,12 +170,12 @@ def bin_points_to_tiles(
     depth_q = jnp.clip((depth * depth_to_sort_key_scale).astype(jnp.int32),
                        0, (1 << depth_bits) - 1)
 
-    # ---- tier A: every point, 4 slots --------------------------------
+    # ---- tier A: every point, 4 slots (laid out (4, N), see _emit_tier) ----
     is_small = count_full <= TIER_A_SLOTS
     count_a = jnp.where(is_small, count_full, 0)
-    slots_a = jnp.arange(TIER_A_SLOTS, dtype=jnp.int32)[None, :]
-    keys_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
-                        tiles_x, depth_bits)                   # (N, 4)
+    slots_a = jnp.arange(TIER_A_SLOTS, dtype=jnp.int32)
+    keys_a, valid_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
+                                 tiles_x, depth_bits)          # (4, N)
 
     # ---- tier B: big points into a fixed pool (flag sort, no scatter) ----
     is_big = (count_full > TIER_A_SLOTS)
@@ -182,56 +190,73 @@ def bin_points_to_tiles(
 
     count_b_full = jnp.where(big_active, count_full[big_ids], 0)
     count_b = jnp.minimum(count_b_full, t_b)
-    slots_b = jnp.arange(t_b, dtype=jnp.int32)[None, :]
-    keys_b = _emit_tier(slots_b, count_b, min_u[big_ids], min_v[big_ids],
-                        dv[big_ids], depth_q[big_ids], tiles_x, depth_bits)
+    slots_b = jnp.arange(t_b, dtype=jnp.int32)
+    keys_b, valid_b = _emit_tier(slots_b, count_b, min_u[big_ids],
+                                 min_v[big_ids], dv[big_ids],
+                                 depth_q[big_ids], tiles_x, depth_bits)
 
     # ---- flatten + pad + one packed sort ------------------------------
+    # Emission POSITION values stay contiguous per point (tier-A point i owns
+    # [4i, 4i+count), tier-B entry b owns [4N + t_b*b, ...)) even though the
+    # memory layout is slot-major; the backward's segmented reduction keys off
+    # these values. Padding slots get a sentinel position so the
+    # sort-by-position compaction puts them after every real segment.
+    pt_a = jax.lax.broadcasted_iota(jnp.int32, (TIER_A_SLOTS, n), 1)
+    pad_len = em_cap - TIER_A_SLOTS * n - t_b * n_big
+
+    def _flatten(tier_a, tier_b, pad_value, dtype):
+        return jnp.concatenate([
+            tier_a.reshape(-1).astype(dtype), tier_b.reshape(-1).astype(dtype),
+            jnp.full((pad_len,), pad_value, dtype)])
+
+    flat_keys = _flatten(keys_a, keys_b, INT32_MAX, jnp.int32)
     # the point id rides through the sort as a payload: deriving it from the
     # emission position afterwards would need an (EM_CAP,) gather from the
     # big-point table, which is slow on TPU
-    flat_keys = jnp.concatenate([keys_a.reshape(-1), keys_b.reshape(-1)])
-    ids_a = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, TIER_A_SLOTS))
-    ids_b = jnp.broadcast_to(big_ids[:, None], (n_big, t_b))
-    flat_ids = jnp.concatenate([ids_a.reshape(-1), ids_b.reshape(-1)])
-    pad_len = em_cap - flat_keys.shape[0]
-    flat_keys = jnp.concatenate(
-        [flat_keys, jnp.full((pad_len,), INT32_MAX, jnp.int32)])
-    flat_ids = jnp.concatenate(
-        [flat_ids, jnp.zeros((pad_len,), jnp.int32)])
-    # padding slots get a sentinel position so the backward's
-    # sort-by-position compaction puts them after every real segment
-    positions = jnp.where(flat_keys == INT32_MAX, INT32_MAX,
-                          jnp.arange(em_cap, dtype=jnp.int32))
-    sorted_key, sorted_pos, sorted_ids = jax.lax.sort(
-        (flat_keys, positions, flat_ids), num_keys=1, is_stable=True)
+    flat_ids = _flatten(jnp.broadcast_to(pt_a, (TIER_A_SLOTS, n)),
+                        jnp.broadcast_to(big_ids[None, :], (t_b, n_big)),
+                        0, jnp.int32)
+    operands = [flat_keys, flat_ids]
+    if for_backward:
+        pos_a = pt_a * TIER_A_SLOTS + slots_a[:, None]
+        pos_b = (TIER_A_SLOTS * n + big_rank[None, :] * t_b
+                 + slots_b[:, None])
+        operands.append(_flatten(jnp.where(valid_a, pos_a, INT32_MAX),
+                                 jnp.where(valid_b, pos_b, INT32_MAX),
+                                 INT32_MAX, jnp.int32))
+    sorted_all = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
 
     # slice everything downstream to the max_keys budget (valid keys sort
     # first; the slice drops real keys only on overflow, which is counted)
     mk = min(((max_keys + chunk - 1) // chunk) * chunk, em_cap)
-    sorted_key = sorted_key[:mk]
-    sorted_pos = sorted_pos[:mk]
-    sorted_ids = sorted_ids[:mk]
+    sorted_key = sorted_all[0][:mk]
+    sorted_ids = sorted_all[1][:mk]
+    sorted_pos = (sorted_all[2][:mk] if for_backward
+                  else jnp.zeros((mk,), jnp.int32))
     sorted_valid = sorted_key != INT32_MAX
     sorted_point_idx = jnp.where(sorted_valid, sorted_ids, 0)
 
-    # per-point emission range (for the backward's segmented reduction)
-    point_arange = jnp.arange(n, dtype=jnp.int32)
-    # tier B start per point: need rank of each big point; big_ids[rank] = id.
-    # Build id -> rank with a second flag sort payload trick: sort (big_ids
-    # padded with sentinel) would need a scatter; instead carry the rank via
-    # sorting (big_ids, rank) by id.
-    big_sorted_ids, big_sorted_rank = jax.lax.sort(
-        (jnp.where(big_active, big_ids, INT32_MAX), big_rank),
-        num_keys=1, is_stable=True)
-    # searchsorted gives each point its rank slot (valid only for big points)
-    found = jnp.searchsorted(big_sorted_ids, point_arange,
-                             method="sort").astype(jnp.int32)
-    found = jnp.clip(found, 0, n_big - 1)
-    rank_of_point = big_sorted_rank[found]
-    is_pooled_big = (big_sorted_ids[found] == point_arange) & is_big
-    point_big_rank = jnp.where(is_pooled_big, rank_of_point, 0)
+    if for_backward:
+        # per-point emission range (for the backward's segmented reduction)
+        point_arange = jnp.arange(n, dtype=jnp.int32)
+        # tier B start per point: need rank of each big point;
+        # big_ids[rank] = id. Build id -> rank with a second flag sort
+        # payload trick: sort (big_ids padded with sentinel) would need a
+        # scatter; instead carry the rank via sorting (big_ids, rank) by id.
+        big_sorted_ids, big_sorted_rank = jax.lax.sort(
+            (jnp.where(big_active, big_ids, INT32_MAX), big_rank),
+            num_keys=1, is_stable=True)
+        # searchsorted gives each point its rank slot (valid only for big
+        # points)
+        found = jnp.searchsorted(big_sorted_ids, point_arange,
+                                 method="sort").astype(jnp.int32)
+        found = jnp.clip(found, 0, n_big - 1)
+        rank_of_point = big_sorted_rank[found]
+        is_pooled_big = (big_sorted_ids[found] == point_arange) & is_big
+        point_big_rank = jnp.where(is_pooled_big, rank_of_point, 0)
+    else:
+        is_pooled_big = jnp.zeros((n,), bool)
+        point_big_rank = jnp.zeros((n,), jnp.int32)
     # per-segment emitted key counts in emission order: N tier-A segments
     # (count_a) followed by N_BIG tier-B segments (count_b)
     segment_lengths = jnp.concatenate([count_a, count_b])

@@ -237,6 +237,42 @@ def test_rasterize_with_vjp_matches_jax_grad_and_stats():
     assert (mag_img >= 0).all()
 
 
+def _render_rgb_only(pc, feats, cam, cfg_base, alpha_scene=True):
+    import dataclasses
+    n = pc.shape[0]
+    obj = jnp.zeros((n,), jnp.int32)
+    inv = jnp.zeros((n,), jnp.int8)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+    full = rasterize(jnp.array(pc), jnp.array(feats), inv, obj, q_cam,
+                     t_cam, cam, cfg_base)
+    rgb = rasterize(jnp.array(pc), jnp.array(feats), inv, obj, q_cam,
+                    t_cam, cam,
+                    dataclasses.replace(cfg_base, rgb_only=True))
+    return full, rgb
+
+
+def test_rgb_only_matches_full_path():
+    cam = make_camera()
+    pc, feats = random_scene(80, seed=20)
+    full, rgb = _render_rgb_only(pc, feats, cam, CONFIG)
+    np.testing.assert_allclose(np.asarray(rgb.image),
+                               np.asarray(full.image), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rgb.aux.pixel_accumulated_alpha),
+        np.asarray(full.aux.pixel_accumulated_alpha), atol=1e-6)
+    # overflow accounting still reported on the fast path
+    assert int(rgb.aux.total_keys) == int(full.aux.total_keys)
+
+
+def test_rgb_only_matches_full_path_with_saturation():
+    cam = make_camera()
+    pc, feats = random_scene(150, seed=21, alpha=7.0)  # opaque stack
+    full, rgb = _render_rgb_only(pc, feats, cam, CONFIG)
+    np.testing.assert_allclose(np.asarray(rgb.image),
+                               np.asarray(full.image), atol=1e-6)
+
+
 def test_empty_scene_renders_zeros():
     cam = make_camera(16, 16)
     n = 4
