@@ -18,6 +18,18 @@ import yaml
 T = TypeVar("T")
 
 
+class _TolerantLoader(yaml.SafeLoader):
+    """SafeLoader that additionally accepts the `!!python/tuple` tag the
+    reference's dataclass_wizard emits in config_template.yaml (it serializes
+    a tuple-typed default verbatim). The tuple is loaded as a plain list; no
+    arbitrary python object construction is enabled."""
+
+
+_TolerantLoader.add_constructor(
+    "tag:yaml.org,2002:python/tuple",
+    lambda loader, node: loader.construct_sequence(node))
+
+
 def _normalize_key(key: str) -> str:
     return key.replace("-", "_")
 
@@ -27,6 +39,12 @@ def _coerce(field_type: Any, value: Any) -> Any:
     int interval, etc.)."""
     import typing
     origin = typing.get_origin(field_type)
+    if (isinstance(value, (list, tuple)) and len(value) <= 1
+            and not dataclasses.is_dataclass(field_type)
+            and origin not in (list, tuple)):
+        # `!!python/tuple [null]` style singleton wrapping (reference's
+        # config_template.yaml) collapses to its element
+        value = value[0] if value else None
     if origin is typing.Union:  # Optional[...]
         args = [a for a in typing.get_args(field_type) if a is not type(None)]
         if value is None:
@@ -78,7 +96,7 @@ def to_dict(obj: Any) -> Any:
 
 def from_yaml_file(cls: Type[T], path: str) -> T:
     with open(path) as f:
-        data = yaml.safe_load(f) or {}
+        data = yaml.load(f, Loader=_TolerantLoader) or {}
     return from_dict(cls, data)
 
 

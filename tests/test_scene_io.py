@@ -147,3 +147,45 @@ def test_config_reference_yaml_loads():
     assert cfg.adaptive_controller_config.num_iterations_warm_up == 1000
     assert cfg.gaussian_point_cloud_scene_config.max_num_points_ratio == 10.0
     assert cfg.loss_function_config.lambda_value == 0.2
+
+
+def test_every_reference_config_yaml_loads():
+    """ALL of the reference's ready-made YAMLs must load, including
+    config_template.yaml's `!!python/tuple` tag (the reference's
+    dataclass_wizard emits it for a tuple-typed default)."""
+    import glob
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import TrainConfig
+    paths = sorted(glob.glob("/root/reference/config/*.yaml"))
+    if not paths:
+        pytest.skip("reference configs not mounted")
+    assert len(paths) == 12
+    for path in paths:
+        cfg = cfg_mod.from_yaml_file(TrainConfig, path)
+        assert cfg.num_iterations > 0, path
+        assert cfg.rasterisation_config.far_plane > 0, path
+    # the template's tuple-wrapped null collapses to None
+    cfg = cfg_mod.from_yaml_file(
+        TrainConfig, "/root/reference/config/config_template.yaml")
+    assert cfg.gaussian_point_cloud_scene_config.max_num_points_ratio is None
+
+
+def test_repo_config_library_loads():
+    """The repo's own config library (TPU editions of the reference YAMLs,
+    plus example.yaml) must load and carry the TPU capacity knobs."""
+    import glob
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import TrainConfig
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo_root, "config", "*.yaml")))
+    assert len(paths) >= 13
+    for path in paths:
+        cfg = cfg_mod.from_yaml_file(TrainConfig, path)
+        assert cfg.rasterisation_config.max_tiles_per_point >= 4, path
+        assert cfg.rasterisation_config.max_keys > 0, path
+    # spot-check a ported file keeps the reference's hyperparameters
+    cfg = cfg_mod.from_yaml_file(
+        TrainConfig, os.path.join(repo_root, "config", "tat_truck.yaml"))
+    assert cfg.num_iterations == 30000
+    assert cfg.feature_learning_rate == 0.005
+    assert cfg.position_learning_rate_decay_rate == 0.9847
+    assert cfg.adaptive_controller_config.num_iterations_reset_alpha == 4000
+    assert cfg.gaussian_point_cloud_scene_config.add_sphere is True
