@@ -65,7 +65,7 @@ def main():
     cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
                            max_tiles_per_point=32,
                            big_point_divisor=16,
-                           max_keys=2 ** 20,
+                           max_keys=720_896,
                            rgb_only=True)
 
     pc, feats = load_scene()
@@ -75,8 +75,14 @@ def main():
     q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
     t_cam = jnp.zeros((1, 3))
 
-    fwd = jax.jit(lambda p, f: rasterize(
-        p, f, invalid, obj, q_cam, t_cam, cam, cfg).image)
+    # chained timing: each call's input depends on the previous call's
+    # output, so host-side dispatch through the axon tunnel cannot pipeline
+    # ahead and the measured time is true per-frame device time (CLAUDE.md)
+    @jax.jit
+    def fwd(p, f):
+        img = rasterize(p, f, invalid, obj, q_cam, t_cam, cam, cfg).image
+        return p + img[0, 0, 0] * 0, img
+
     # guard: the FPS number must not come from dropped work
     import sys
     probe = rasterize(pc, feats, invalid, obj, q_cam, t_cam, cam, cfg)
@@ -85,16 +91,17 @@ def main():
         print(f"WARNING: {dropped} keys/points dropped by capacity budgets; "
               f"raise max_keys/big_point_divisor", file=sys.stderr)
     # warmup (compile + cache)
-    img = fwd(pc, feats)
+    p, img = fwd(pc, feats)
     img.block_until_ready()
     for _ in range(10):
-        img = fwd(pc, feats)
+        p, img = fwd(p, feats)
     img.block_until_ready()
 
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     t0 = time.perf_counter()
+    p = pc
     for _ in range(iters):
-        img = fwd(pc, feats)
+        p, img = fwd(p, feats)
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt

@@ -64,8 +64,15 @@ def merge_scenes(parquet_paths):
     pc = np.concatenate(pcs)
     f = np.concatenate(feats)
     o = np.concatenate(objs)
+    invalid = np.zeros((pc.shape[0],), np.int8)
+    if pc.shape[0] == 0:
+        # all-pruned scenes render black instead of breaking static shapes
+        pc = np.zeros((1, 3), np.float32)
+        f = np.zeros((1, 56), np.float32)
+        o = np.zeros((1,), np.int32)
+        invalid = np.ones((1,), np.int8)
     return (jnp.asarray(pc), jnp.asarray(f),
-            jnp.zeros((pc.shape[0],), jnp.int8), jnp.asarray(o),
+            jnp.asarray(invalid), jnp.asarray(o),
             len(parquet_paths))
 
 

@@ -78,6 +78,17 @@ class GaussianPointCloudScene(NamedTuple):
         point_cloud = np.asarray(point_cloud, np.float32)
         assert point_cloud.ndim == 2 and point_cloud.shape[1] == 3
         num_points = point_cloud.shape[0]
+        if num_points == 0:
+            # an all-pruned checkpoint reloads as one invalid placeholder
+            # point: capacity 0 would break the static-shape pipeline (and
+            # a 0-byte device transfer can wedge the TPU tunnel)
+            return GaussianPointCloudScene(
+                point_cloud=jnp.zeros((1, 3), jnp.float32),
+                point_cloud_features=jnp.zeros(
+                    (1, config.num_of_features), jnp.float32),
+                point_invalid_mask=jnp.ones((1,), jnp.int8),
+                point_object_id=jnp.zeros((1,), jnp.int32),
+            )
 
         if point_cloud_features is None:
             point_cloud_features = _initialize_features(

@@ -11,18 +11,24 @@ loop over depth-sorted points, shared-memory staging, atomics for gradient
 scatter) maps to TPU as:
 
 - grid = (num_tiles,); each program owns one 16x16 tile = 256 pixels laid out
-  on VPU sublanes, and walks its depth-sorted key segment in CHUNK-column
-  slabs DMA'd from HBM to VMEM (the VMEM staging replaces CUDA shared memory).
-- the inherently sequential transmittance recursion is *vectorized across the
-  chunk* with a prefix-product: T_i = T_carry * prod_{j<i} (1-a_j), computed
-  as an f32 Hillis-Steele lane scan on the VPU (log2(CHUNK) roll+multiply
-  steps, no transcendentals). Saturation (T < 1e-4 stop, reference: :457-460) becomes a
-  cumulative-or along the chunk plus a carried latch, reproducing the exact
+  on VPU *lanes*, and walks its depth-sorted key segment in CHUNK-row slabs
+  DMA'd from HBM to VMEM (the VMEM staging replaces CUDA shared memory).
+- layout is (keys on SUBLANES, pixels on LANES): the inherently sequential
+  transmittance recursion becomes a sublane Hillis-Steele prefix product
+  (log2(CHUNK) sublane rolls - measured ~5x cheaper than the same scan along
+  lanes, which goes through the lane crossbar).
+- the per-(pixel, key) Gaussian exponent is ONE MXU matmul per chunk:
+  exp(E) with E[k, p] = coef(8, C)[., k] . mono(256, 8)[p, .], where the
+  quadratic coefficients are derived per *key* (C-sized rows, ~free) in
+  tile-centered coordinates. Tile-centering keeps |terms| ~ O(radius^2)
+  so the f32 expansion does not suffer the cancellation a global-coordinate
+  quadratic would (px^2 ~ 1e6 vs exponent ~ 1).
+- saturation (T < 1e-4 stop, reference: :457-460) is scan-free: a compare on
+  the non-increasing T_next plus a carried latch reproduces the exact
   "saturating point does not contribute" semantics.
-- color/depth/weight accumulation and the backward's per-point reductions are
-  MXU matmuls against the chunk slab; per-point gradients are written back
-  per *key slot* (no atomics) and reduced to points outside the kernel via
-  the emission permutation (see ops/tiling.py).
+- per-point gradients are written back per *key slot* (no atomics) and
+  reduced to points outside the kernel via the emission permutation
+  (see ops/tiling.py).
 - the backward replays the forward front-to-back and uses the suffix-sum
   identity dC/da_i = c_i T_i - w_i/(1-a_i) with w_i = C_total - prefix_i
   (reference derives the same quantity back-to-front, :561-565,643-656).
@@ -32,6 +38,9 @@ Gradient conventions copied from the reference backward:
 - alpha < 1/255 skip gate passes no gradient (reference: :634)
 - no gradient to the depth output or through the density rescale
   (reference: :1026, utils.py:347)
+
+Tile output layout: (num_tiles, 8, 256) - 8 output channels on sublanes,
+256 tile pixels on lanes (pixel p = v_in * 16 + u_in).
 """
 
 from __future__ import annotations
@@ -79,98 +88,85 @@ ALPHA_SKIP_THRESHOLD = 1.0 / 255.0
 ALPHA_CLAMP = 0.99
 TRANSMITTANCE_SATURATION = 1e-4
 
-# Forward per-tile output columns in the (num_tiles, 256, 8) buffer
+# Forward per-tile output rows in the (num_tiles, 8, 256) buffer
 OUT_R, OUT_G, OUT_B, OUT_DEPTH, OUT_ACC_ALPHA, OUT_NORM, OUT_LAST_EFF, OUT_COUNT = range(8)
+
+_DOT = dict(preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _shift_right_lanes(x, k, fill, interpret):
-    """Shift columns right by k, filling `fill` (no wraparound). The fill
-    mask is built (1, C) and broadcast into the select - a full-size iota per
-    scan step costs ~3x the select itself on the VPU."""
-    rolled = jnp.roll(x, k, 1) if interpret else pltpu.roll(x, k, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
-    return jnp.where(lane < k, jnp.full_like(x, fill), rolled)
+def _roll_rows(x, k, interpret):
+    return jnp.roll(x, k, 0) if interpret else pltpu.roll(x, k, 0)
 
 
-def _lane_cumsum_exclusive(x, interpret=False):
-    """Exclusive prefix sum along axis 1 (lanes): Hillis-Steele doubling scan
-    on the VPU, log2(C) roll+add steps, exact f32."""
-    c = x.shape[1]
-    acc = _shift_right_lanes(x, 1, 0.0, interpret)
-    k = 1
-    while k < c:
-        acc = acc + _shift_right_lanes(acc, k, 0.0, interpret)
-        k *= 2
-    return acc
+def _sub_cumprod_exclusive(x, interpret=False):
+    """Exclusive prefix *product* along axis 0 (sublanes).
 
-
-def _saturation_masks(a_v, T_i, one_minus, T, sat):
-    """Scan-free saturation semantics.
-
-    tnext = T_i * (1 - a) is non-increasing along the chunk, so "some positive
-    lane before me saturated" is simply "my tnext < threshold" for positive
-    lanes - the prefix-count scan the reference's per-thread `break` would
-    otherwise require collapses to one compare. The saturating lane itself
-    does not contribute (reference: :457-460) and the transmittance carry
-    only advances on contribution (reference: :470): the post-chunk T is the
-    T_i of the first saturating lane (the row-max of T_i over hits, since T_i
-    is non-increasing too), or tnext's last lane if nothing saturated, frozen
-    entirely once the pixel latched in an earlier chunk.
-
-    Returns (contribute, T_new, sat_new), shapes (256, C)/(256, 1)/(256, 1).
-    """
-    tnext = T_i * one_minus
-    positive = (a_v > 0.0).astype(jnp.float32)
-    hit = positive * (tnext < TRANSMITTANCE_SATURATION).astype(jnp.float32)
-    contribute = (positive
-                  * (tnext >= TRANSMITTANCE_SATURATION).astype(jnp.float32)
-                  * (1.0 - sat))
-    row_hit = jnp.max(hit, axis=1, keepdims=True)
-    T_at_hit = jnp.max(T_i * hit, axis=1, keepdims=True)
-    T_new = jnp.where(row_hit > 0.5, T_at_hit, tnext[:, -1:])
-    T_new = jnp.where(sat > 0.5, T, T_new)
-    sat_new = jnp.maximum(sat, row_hit)
-    return contribute, T_new, sat_new
-
-
-def _lane_cumprod_exclusive(x, interpret=False):
-    """Exclusive prefix *product* along lanes.
-
-    Used for the transmittance recursion T_i = T * prod_{j<i} (1 - a_j):
-    pure IEEE f32 multiplies (no log/exp), so results are reproducible across
+    Pure IEEE f32 multiplies (no log/exp), so results are reproducible across
     interpret/compiled backends and the 1e-4 saturation threshold
     (reference: :457-460) doesn't flip on transcendental rounding.
     """
-    c = x.shape[1]
-    acc = _shift_right_lanes(x, 1, 1.0, interpret)
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    acc = jnp.where(row < 1, jnp.ones_like(x), _roll_rows(x, 1, interpret))
     k = 1
-    while k < c:
-        acc = acc * _shift_right_lanes(acc, k, 1.0, interpret)
+    while k < n:
+        rolled = _roll_rows(acc, k, interpret)
+        acc = acc * jnp.where(row < k, jnp.ones_like(acc), rolled)
         k *= 2
     return acc
 
 
-def _tile_pixel_coords(tile_id, tiles_per_row):
-    """Pixel-center coordinates of a tile's 256 pixels, shape (256, 1)."""
+def _sub_cumsum_exclusive(x, interpret=False):
+    """Exclusive prefix sum along axis 0 (sublanes)."""
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    acc = jnp.where(row < 1, jnp.zeros_like(x), _roll_rows(x, 1, interpret))
+    k = 1
+    while k < n:
+        rolled = _roll_rows(acc, k, interpret)
+        acc = acc + jnp.where(row < k, jnp.zeros_like(acc), rolled)
+        k *= 2
+    return acc
+
+
+def _tile_mono(tile_id, tiles_per_row):
+    """Per-pixel monomials in tile-local coordinates.
+
+    Returns (mono, q, r): mono (256, 8) = [q^2, q*r, r^2, q, r, 1, 0, 0] with
+    q, r (1, 256) the pixel-center offsets from the tile origin.
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, (PIXELS_PER_TILE, 1), 0)
+    q = (idx % TILE_WIDTH).astype(jnp.float32) + 0.5    # (256, 1)
+    r = (idx // TILE_WIDTH).astype(jnp.float32) + 0.5
+    one = jnp.ones_like(q)
+    zero = jnp.zeros_like(q)
+    mono = jnp.concatenate(
+        [q * q, q * r, r * r, q, r, one, zero, zero], axis=1)   # (256, 8)
+    return mono, q.reshape(1, -1), r.reshape(1, -1)
+
+
+def _tile_origin(tile_id, tiles_per_row):
     tile_u = tile_id % tiles_per_row
     tile_v = tile_id // tiles_per_row
-    idx = jax.lax.broadcasted_iota(jnp.int32, (PIXELS_PER_TILE, 1), 0)
-    u_in = idx % TILE_WIDTH
-    v_in = idx // TILE_WIDTH
-    px = (tile_u * TILE_WIDTH + u_in).astype(jnp.float32) + 0.5
-    py = (tile_v * TILE_HEIGHT + v_in).astype(jnp.float32) + 0.5
-    return px, py
+    tcx = (tile_u * TILE_WIDTH).astype(jnp.float32)
+    tcy = (tile_v * TILE_HEIGHT).astype(jnp.float32)
+    return tcx, tcy
 
 
-def _chunk_alpha(data, px, py, start, end, chunk_global_start, chunk):
-    """Per-(pixel, key) alphas for one chunk slab.
+def _chunk_coefs(data, tcx, tcy):
+    """Tile-centered quadratic coefficients from the raw slab rows.
 
-    Returns (a_exp, a_v): unclamped exp(exponent) and the masked/clamped alpha
-    used for blending. Shapes (256, chunk).
+    exponent(k, p) = -0.5*ca*dx^2 - cb*dx*dy - 0.5*cc*dy^2 + logw with
+    dx = q_p - du_k, dy = r_p - dv_k, du = u - tile_x0, dv = v - tile_y0.
+    All rows are (1, C): per-key cost, 256x cheaper than per-(pixel, key).
+
+    Returns (coef (8, C), du, dv) with coef rows
+    [c_qq, c_qr, c_rr, c_q, c_r, c_1, 0, 0].
     """
     u = data[ROW_U:ROW_U + 1, :]
     v = data[ROW_V:ROW_V + 1, :]
@@ -178,30 +174,76 @@ def _chunk_alpha(data, px, py, start, end, chunk_global_start, chunk):
     cb = data[ROW_B:ROW_B + 1, :]
     cc = data[ROW_C:ROW_C + 1, :]
     logw = data[ROW_LOGW:ROW_LOGW + 1, :]
-    dx = px - u   # (256, chunk)
-    dy = py - v
-    exponent = (-0.5 * (dx * dx * ca + dy * dy * cc) - dx * dy * cb + logw)
+    du = u - tcx
+    dv = v - tcy
+    c_q = ca * du + cb * dv
+    c_r = cc * dv + cb * du
+    c_1 = logw - 0.5 * (ca * du * du + cc * dv * dv) - cb * du * dv
+    zero = jnp.zeros_like(u)
+    coef = jnp.concatenate(
+        [-0.5 * ca, -cb, -0.5 * cc, c_q, c_r, c_1, zero, zero], axis=0)
+    return coef, du, dv
+
+
+def _chunk_alpha(data, mono, tcx, tcy, start, end, chunk_global_start, chunk):
+    """Per-(key, pixel) alphas for one chunk slab; exponent on the MXU.
+
+    Returns (a_exp, a_v, coef, du, dv, gidx): (chunk, 256) maps, the (8,
+    chunk) coefficient rows, (1, chunk) rows for du/dv, (chunk, 1) gidx.
+    """
+    coef, du, dv = _chunk_coefs(data, tcx, tcy)
+    exponent = jax.lax.dot_general(
+        coef, mono, (((0,), (1,)), ((), ())), **_DOT)       # (chunk, 256)
     a_exp = jnp.exp(exponent)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    gidx = chunk_global_start + lane
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    gidx = chunk_global_start + row
     in_segment = (gidx >= start) & (gidx < end)
-    a_v = jnp.where(a_exp < ALPHA_SKIP_THRESHOLD, 0.0,
-                    jnp.minimum(a_exp, ALPHA_CLAMP))
-    a_v = jnp.where(in_segment, a_v, 0.0)
-    return a_exp, a_v, dx, dy, gidx
+    a_v = jnp.where(in_segment & (a_exp >= ALPHA_SKIP_THRESHOLD),
+                    jnp.minimum(a_exp, ALPHA_CLAMP), 0.0)
+    return a_exp, a_v, coef, du, dv, gidx
+
+
+def _saturation_masks(a_v, T_i, one_minus, T, sat):
+    """Scan-free saturation semantics (keys on sublanes).
+
+    tnext = T_i * (1 - a) is non-increasing along the chunk, so "some positive
+    key before me saturated" is simply "my tnext < threshold" for positive
+    keys - the prefix-count scan the reference's per-thread `break` would
+    otherwise require collapses to one compare. The saturating key itself
+    does not contribute (reference: :457-460) and the transmittance carry
+    only advances on contribution (reference: :470): the post-chunk T is the
+    T_i of the first saturating key (the column-max of T_i over hits, since
+    T_i is non-increasing too), or tnext's last key if nothing saturated,
+    frozen entirely once the pixel latched in an earlier chunk.
+
+    Returns (contribute, T_new, sat_new), shapes (C, 256)/(1, 256)/(1, 256).
+    """
+    tnext = T_i * one_minus
+    positive = (a_v > 0.0).astype(jnp.float32)
+    hit = positive * (tnext < TRANSMITTANCE_SATURATION).astype(jnp.float32)
+    contribute = (positive
+                  * (tnext >= TRANSMITTANCE_SATURATION).astype(jnp.float32)
+                  * (1.0 - sat))
+    col_hit = jnp.max(hit, axis=0, keepdims=True)
+    T_at_hit = jnp.max(T_i * hit, axis=0, keepdims=True)
+    T_new = jnp.where(col_hit > 0.5, T_at_hit, tnext[-1:, :])
+    T_new = jnp.where(sat > 0.5, T, T_new)
+    sat_new = jnp.maximum(sat, col_hit)
+    return contribute, T_new, sat_new
 
 
 def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
                     data_hbm,                   # (16, MAX_KEYS) in ANY/HBM
-                    out_ref,                    # (1, 256, 8) VMEM block
+                    out_ref,                    # (1, 8, 256) VMEM block
                     chunk_buf, dma_sem,         # scratch (2-slot double buffer)
-                    *, chunk, tiles_per_row, interpret):
+                    *, chunk, tiles_per_row, rgb_only, interpret):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
     aligned_start = (start // chunk) * chunk
     num_chunks = jnp.where(end > start, pl.cdiv(end - aligned_start, chunk), 0)
-    px, py = _tile_pixel_coords(t, tiles_per_row)
+    mono, _, _ = _tile_mono(t, tiles_per_row)
+    tcx, tcy = _tile_origin(t, tiles_per_row)
 
     def get_dma(i):
         slot = jax.lax.rem(i, 2)
@@ -228,35 +270,34 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
         get_dma(i).wait()
         data = chunk_buf[jax.lax.rem(i, 2)]
 
-        a_exp, a_v, _, _, gidx = _chunk_alpha(
-            data, px, py, start, end, col0, chunk)
-        one_minus = 1.0 - a_v                                # (256, chunk)
+        a_exp, a_v, _, _, _, gidx = _chunk_alpha(
+            data, mono, tcx, tcy, start, end, col0, chunk)
+        one_minus = 1.0 - a_v                                # (chunk, 256)
 
-        # transmittance recursion via one VPU doubling scan; saturation
+        # transmittance recursion via one sublane doubling scan; saturation
         # handled scan-free (see _saturation_masks)
-        T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
+        T_i = T * _sub_cumprod_exclusive(one_minus, interpret)
         contribute, T, sat = _saturation_masks(a_v, T_i, one_minus, T, sat)
 
-        weight = contribute * a_v * T_i
+        weight = contribute * a_v * T_i                       # (chunk, 256)
         slab = data[8:16, :]                                  # r,g,b,depth,one
         acc = acc + jax.lax.dot_general(
-            weight, slab, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # (256, 8)
+            slab, weight, (((1,), (0,)), ((), ())), **_DOT)   # (8, 256)
 
-        eff = jnp.max(contribute * (gidx + 1).astype(jnp.float32),
-                      axis=1, keepdims=True)
-        last_eff = jnp.maximum(last_eff, eff)
-        count = count + jnp.sum(contribute, axis=1, keepdims=True)
+        if not rgb_only:
+            eff = jnp.max(contribute * (gidx + 1).astype(jnp.float32),
+                          axis=0, keepdims=True)
+            last_eff = jnp.maximum(last_eff, eff)
+            count = count + jnp.sum(contribute, axis=0, keepdims=True)
         return (i + 1, T, sat, acc, last_eff, count)
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.ones((PIXELS_PER_TILE, 1), jnp.float32),   # T
-        jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),  # saturated latch
-        jnp.zeros((PIXELS_PER_TILE, 8), jnp.float32),  # acc slab
-        jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),  # last effective + 1
-        jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),  # valid count
+        jnp.ones((1, PIXELS_PER_TILE), jnp.float32),   # T
+        jnp.zeros((1, PIXELS_PER_TILE), jnp.float32),  # saturated latch
+        jnp.zeros((8, PIXELS_PER_TILE), jnp.float32),  # acc slab
+        jnp.zeros((1, PIXELS_PER_TILE), jnp.float32),  # last effective + 1
+        jnp.zeros((1, PIXELS_PER_TILE), jnp.float32),  # valid count
     )
     i_final, T, _, acc, last_eff, count = jax.lax.while_loop(cond, body, init)
 
@@ -265,16 +306,58 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
     def _():
         get_dma(i_final).wait()
 
-    depth = acc[:, 3:4] / jnp.maximum(acc[:, 4:5], 1e-6)
-    out = jnp.concatenate([
-        acc[:, 0:3],            # r, g, b
-        depth,                  # normalized depth
-        1.0 - T,                # accumulated alpha
-        acc[:, 4:5],            # weight normalization
-        last_eff,               # last effective key offset + 1 (as float)
-        count,                  # valid point count (as float)
-    ], axis=1)
+    if rgb_only:
+        zero = jnp.zeros((1, PIXELS_PER_TILE), jnp.float32)
+        out = jnp.concatenate([
+            acc[0:3],               # r, g, b
+            zero,                   # depth (not computed in rgb_only)
+            1.0 - T,                # accumulated alpha
+            acc[4:5],               # weight normalization
+            zero, zero,             # last_eff / count (not computed)
+        ], axis=0)
+    else:
+        depth = acc[3:4] / jnp.maximum(acc[4:5], 1e-6)
+        out = jnp.concatenate([
+            acc[0:3],               # r, g, b
+            depth,                  # normalized depth
+            1.0 - T,                # accumulated alpha
+            acc[4:5],               # weight normalization
+            last_eff,               # last effective key offset + 1 (as float)
+            count,                  # valid point count (as float)
+        ], axis=0)
     out_ref[0, :, :] = out
+
+
+def _forward_call(point_data, tile_starts, tile_ends, *,
+                  num_tiles, tiles_per_row, chunk, rgb_only):
+    assert point_data.shape[0] == NUM_DATA_ROWS
+    max_keys = point_data.shape[1]
+    assert max_keys % chunk == 0, "MAX_KEYS must be a multiple of chunk"
+    interpret = _use_interpret()
+    kernel = functools.partial(_forward_kernel, chunk=chunk,
+                               tiles_per_row=tiles_per_row,
+                               rgb_only=rgb_only, interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, PIXELS_PER_TILE),
+                               lambda t, s, e: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, PIXELS_PER_TILE),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tile_starts, tile_ends, point_data)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "tiles_per_row",
@@ -283,173 +366,32 @@ def blend_forward(point_data, tile_starts, tile_ends, *,
                   num_tiles, tiles_per_row, chunk=128):
     """point_data: (16, MAX_KEYS) f32, columns in sorted key order.
 
-    Returns (num_tiles, 256, 8) per-tile outputs (see OUT_* columns).
+    Returns (num_tiles, 8, 256) per-tile outputs (see OUT_* rows).
     """
-    assert point_data.shape[0] == NUM_DATA_ROWS
-    max_keys = point_data.shape[1]
-    assert max_keys % chunk == 0, "MAX_KEYS must be a multiple of chunk"
-    interpret = _use_interpret()
-    kernel = functools.partial(_forward_kernel, chunk=chunk,
-                               tiles_per_row=tiles_per_row,
-                               interpret=interpret)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, PIXELS_PER_TILE, 8),
-                               lambda t, s, e: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PIXELS_PER_TILE, 8),
-                                       jnp.float32),
-        interpret=interpret,
-    )(tile_starts, tile_ends, point_data)
-    return out
-
-
-def _forward_rgb_kernel(starts_ref, ends_ref,     # scalar prefetch (SMEM)
-                        data_hbm,                 # (16, MAX_KEYS) ANY/HBM
-                        out_ref,                  # (1, 256, 8) VMEM block
-                        chunk_buf, dma_sem,       # 2-slot double buffer
-                        *, chunk, tiles_per_row, interpret):
-    """Inference-only forward blend (reference rgb_only template flag,
-    reference: GaussianPointCloudRasterisation.py:342,409,464).
-
-    Differences from `_forward_kernel`:
-    - conic rows arrive pre-scaled (A = -a/2, B = -b, C = -c/2), saving the
-      per-(pixel, key) negations and halvings in the exponent;
-    - no last-effective-offset / valid-count bookkeeping (backward-only
-      outputs, skipped exactly like the reference's rgb_only template).
-    """
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    end = ends_ref[t]
-    aligned_start = (start // chunk) * chunk
-    num_chunks = jnp.where(end > start, pl.cdiv(end - aligned_start, chunk), 0)
-    px, py = _tile_pixel_coords(t, tiles_per_row)
-
-    def get_dma(i):
-        slot = jax.lax.rem(i, 2)
-        return pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(aligned_start + i * chunk, chunk)],
-            chunk_buf.at[slot], dma_sem.at[slot])
-
-    @pl.when(num_chunks > 0)
-    def _():
-        get_dma(0).start()
-
-    def cond(state):
-        i, T, sat, acc = state
-        return (i < num_chunks) & jnp.logical_not(jnp.all(sat > 0.5))
-
-    def body(state):
-        i, T, sat, acc = state
-        col0 = aligned_start + i * chunk
-
-        @pl.when(i + 1 < num_chunks)
-        def _():
-            get_dma(i + 1).start()
-
-        get_dma(i).wait()
-        data = chunk_buf[jax.lax.rem(i, 2)]
-
-        dx = px - data[ROW_U:ROW_U + 1, :]
-        dy = py - data[ROW_V:ROW_V + 1, :]
-        exponent = ((data[ROW_A:ROW_A + 1, :] * dx
-                     + data[ROW_B:ROW_B + 1, :] * dy) * dx
-                    + (data[ROW_C:ROW_C + 1, :] * dy * dy
-                       + data[ROW_LOGW:ROW_LOGW + 1, :]))
-        a_exp = jnp.exp(exponent)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        gidx = col0 + lane
-        in_segment = (gidx >= start) & (gidx < end)
-        a_v = jnp.where(in_segment & (a_exp >= ALPHA_SKIP_THRESHOLD),
-                        jnp.minimum(a_exp, ALPHA_CLAMP), 0.0)
-        one_minus = 1.0 - a_v
-        T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
-        contribute, T, sat = _saturation_masks(a_v, T_i, one_minus, T, sat)
-        weight = contribute * a_v * T_i
-        acc = acc + jax.lax.dot_general(
-            weight, data[8:16, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        return (i + 1, T, sat, acc)
-
-    init = (
-        jnp.zeros((), jnp.int32),
-        jnp.ones((PIXELS_PER_TILE, 1), jnp.float32),   # T
-        jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),  # saturated latch
-        jnp.zeros((PIXELS_PER_TILE, 8), jnp.float32),  # acc slab
-    )
-    i_final, T, _, acc = jax.lax.while_loop(cond, body, init)
-
-    @pl.when((i_final < num_chunks) & (num_chunks > 0))
-    def _():
-        get_dma(i_final).wait()
-
-    zeros = jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32)
-    out_ref[0, :, :] = jnp.concatenate([
-        acc[:, 0:3],            # r, g, b
-        zeros,                  # depth (not computed in rgb_only)
-        1.0 - T,                # accumulated alpha
-        acc[:, 4:5],            # weight normalization
-        zeros, zeros,           # last_eff / count (not computed)
-    ], axis=1)
+    return _forward_call(point_data, tile_starts, tile_ends,
+                         num_tiles=num_tiles, tiles_per_row=tiles_per_row,
+                         chunk=chunk, rgb_only=False)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "tiles_per_row",
                                              "chunk"))
 def blend_forward_rgb(point_data, tile_starts, tile_ends, *,
                       num_tiles, tiles_per_row, chunk=128):
-    """rgb_only forward: point_data rows 2..4 must hold the PRE-SCALED conic
-    (A, B, C) = (-a/2, -b, -c/2). Returns (num_tiles, 256, 8) with the
-    backward-only columns (depth, last_eff, count) zeroed."""
-    assert point_data.shape[0] == NUM_DATA_ROWS
-    max_keys = point_data.shape[1]
-    assert max_keys % chunk == 0, "MAX_KEYS must be a multiple of chunk"
-    interpret = _use_interpret()
-    kernel = functools.partial(_forward_rgb_kernel, chunk=chunk,
-                               tiles_per_row=tiles_per_row,
-                               interpret=interpret)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, PIXELS_PER_TILE, 8),
-                               lambda t, s, e: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PIXELS_PER_TILE, 8),
-                                       jnp.float32),
-        interpret=interpret,
-    )(tile_starts, tile_ends, point_data)
-    return out
+    """Inference-only forward blend (reference rgb_only template flag,
+    reference: GaussianPointCloudRasterisation.py:342,409,464): skips the
+    last-effective-offset / valid-count / depth bookkeeping (backward-only
+    outputs). Same slab layout as `blend_forward`."""
+    return _forward_call(point_data, tile_starts, tile_ends,
+                         num_tiles=num_tiles, tiles_per_row=tiles_per_row,
+                         chunk=chunk, rgb_only=True)
 
 
 def _backward_kernel(starts_ref, ends_ref,
                      data_hbm,          # (16, MAX_KEYS) ANY
-                     pix_ref,           # (1, 256, 8): g_rgb, C_total_rgb
+                     pix_ref,           # (1, 8, 256): g_rgb, C_total_rgb
                      zeros_ref,         # (16, MAX_KEYS) ANY, aliased to output
                      grad_hbm,          # output alias: (16, MAX_KEYS) ANY
-                     mag_ref,           # output (1, 256, 8): mag_u, mag_v
+                     mag_ref,           # output (1, 8, 256): mag_u, mag_v
                      chunk_buf, grad_buf, dma_sem, grad_sem,
                      *, chunk, tiles_per_row, interpret):
     del zeros_ref  # same buffer as grad_hbm (input_output_aliases)
@@ -458,7 +400,8 @@ def _backward_kernel(starts_ref, ends_ref,
     end = ends_ref[t]
     aligned_start = (start // chunk) * chunk
     num_chunks = jnp.where(end > start, pl.cdiv(end - aligned_start, chunk), 0)
-    px, py = _tile_pixel_coords(t, tiles_per_row)
+    mono, q, r = _tile_mono(t, tiles_per_row)   # mono (256, 8); q, r (1, 256)
+    tcx, tcy = _tile_origin(t, tiles_per_row)
 
     def get_dma(i):
         slot = jax.lax.rem(i, 2)
@@ -470,11 +413,11 @@ def _backward_kernel(starts_ref, ends_ref,
     def _():
         get_dma(0).start()
 
-    g_rgb = pix_ref[0, :, 0:3]        # (256, 3) image cotangent
-    c_total = pix_ref[0, :, 3:6]      # (256, 3) forward output color
+    g8 = pix_ref[0, :, :]             # (8, 256)
+    g_rgb = g8[0:3, :]                # (3, 256) image cotangent
+    c_total = g8[3:6, :]              # (3, 256) forward output color
     # S = sum_ch g * C_total  (suffix-sum anchor)
-    S = jnp.sum(g_rgb * c_total, axis=1, keepdims=True)  # (256, 1)
-    g8 = pix_ref[0, :, :]             # (256, 8)
+    S = jnp.sum(g_rgb * c_total, axis=0, keepdims=True)  # (1, 256)
 
     def cond(state):
         i, T, sat, Pg, mag_img = state
@@ -491,71 +434,77 @@ def _backward_kernel(starts_ref, ends_ref,
         get_dma(i).wait()
         data = chunk_buf[jax.lax.rem(i, 2)]
 
-        a_exp, a_v, dx, dy, _ = _chunk_alpha(
-            data, px, py, start, end, col0, chunk)
+        a_exp, a_v, coef, du, dv, _ = _chunk_alpha(
+            data, mono, tcx, tcy, start, end, col0, chunk)
         one_minus = 1.0 - a_v
 
-        T_i = T * _lane_cumprod_exclusive(one_minus, interpret)
+        T_i = T * _sub_cumprod_exclusive(one_minus, interpret)
         contribute, T_next, sat_next = _saturation_masks(
             a_v, T_i, one_minus, T, sat)
-        weight = contribute * a_v * T_i                       # (256, chunk)
+        weight = contribute * a_v * T_i                       # (chunk, 256)
 
-        # cg[px, i] = sum_ch color[i, ch] * g[px, ch]
+        # cg[k, px] = sum_ch color[ch, k] * g[ch, px]
         rgb_rows = data[ROW_R:ROW_R + 3, :]                   # (3, chunk)
         cg = jax.lax.dot_general(
-            g_rgb, rgb_rows, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # (256, chunk)
+            rgb_rows, g_rgb, (((0,), (0,)), ((), ())), **_DOT)  # (chunk, 256)
 
         # inclusive prefix of u_j = cg_j * weight_j within the chunk
         u_map = cg * weight
-        cum_u_incl = _lane_cumsum_exclusive(u_map, interpret) + u_map
+        cum_u_incl = _sub_cumsum_exclusive(u_map, interpret) + u_map
         gw = S - Pg - cum_u_incl       # sum_ch g * w_i (suffix after i)
-        dLda = contribute * (cg * T_i - gw / (1.0 - a_v))     # (256, chunk)
+        dLda = contribute * (cg * T_i - gw / one_minus)       # (chunk, 256)
         G = dLda * a_exp               # straight-through clamp/skip chain
 
-        # per-key moment reductions on the MXU
-        one = jnp.ones_like(px)
-        mono = jnp.concatenate(
-            [one, px, py, px * px, py * py, px * py,
-             jnp.zeros_like(px), jnp.zeros_like(px)], axis=1)  # (256, 8)
-        mom = jax.lax.dot_general(
-            mono, G, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # (8, chunk)
-        m0, mx, my = mom[0:1, :], mom[1:2, :], mom[2:3, :]
-        mxx, myy, mxy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
-        u = data[ROW_U:ROW_U + 1, :]
-        v = data[ROW_V:ROW_V + 1, :]
+        # per-key moment reductions on the MXU (tile-local monomials):
+        # mom_t[j, k] = sum_p mono[p, j] * G[k, p]
+        mom_t = jax.lax.dot_general(
+            mono, G, (((0,), (1,)), ((), ())), **_DOT)        # (8, chunk)
+        m_qq, m_qr, m_rr = mom_t[0:1, :], mom_t[1:2, :], mom_t[2:3, :]
+        m_q, m_r, m0 = mom_t[3:4, :], mom_t[4:5, :], mom_t[5:6, :]
         ca = data[ROW_A:ROW_A + 1, :]
         cb = data[ROW_B:ROW_B + 1, :]
         cc = data[ROW_C:ROW_C + 1, :]
-        cmx = mx - u * m0              # sum G * dx
-        cmy = my - v * m0              # sum G * dy
-        du = ca * cmx + cb * cmy
-        dv = cc * cmy + cb * cmx
-        da = -0.5 * (mxx - 2.0 * u * mx + u * u * m0)
-        dc = -0.5 * (myy - 2.0 * v * my + v * v * m0)
-        db = -(mxy - u * my - v * mx + u * v * m0)
+        cmx = m_q - du * m0            # sum G * dx   (tile-local dx)
+        cmy = m_r - dv * m0            # sum G * dy
+        grad_u = ca * cmx + cb * cmy
+        grad_v = cc * cmy + cb * cmx
+        da = -0.5 * (m_qq - 2.0 * du * m_q + du * du * m0)
+        dc = -0.5 * (m_rr - 2.0 * dv * m_r + dv * dv * m0)
+        db = -(m_qr - du * m_r - dv * m_q + du * dv * m0)
 
         # color grads (+ free rows) : (8, chunk)
         dcol = jax.lax.dot_general(
-            g8, weight, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            g8, weight, (((1,), (1,)), ((), ())), **_DOT)
 
-        # viewspace gradient maps for densification statistics
-        gx = G * (ca * dx + cb * dy)
-        gy = G * (cc * dy + cb * dx)
-        mag_pt = jnp.sum(jnp.sqrt(gx * gx + gy * gy), axis=0, keepdims=True)
-        npix = jnp.sum(contribute, axis=0, keepdims=True)
+        # viewspace gradient maps for densification statistics:
+        # (ca*dx + cb*dy) = -dE/dq and (cc*dy + cb*dx) = -dE/dr, where E is
+        # the tile-local quadratic - so both per-(key, pixel) maps come from
+        # the same MXU monomial contraction as the exponent itself.
+        zrow = jnp.zeros_like(du)
+        coef_q = jnp.concatenate(
+            [zrow, zrow, zrow, 2.0 * coef[0:1, :], coef[1:2, :],
+             coef[3:4, :], zrow, zrow], axis=0)               # (8, chunk)
+        coef_r = jnp.concatenate(
+            [zrow, zrow, zrow, coef[1:2, :], 2.0 * coef[2:3, :],
+             coef[4:5, :], zrow, zrow], axis=0)
+        gx = -G * jax.lax.dot_general(
+            coef_q, mono, (((0,), (1,)), ((), ())), **_DOT)   # (chunk, 256)
+        gy = -G * jax.lax.dot_general(
+            coef_r, mono, (((0,), (1,)), ((), ())), **_DOT)
+        ones_row = jnp.ones((1, PIXELS_PER_TILE), jnp.float32)
+        # per-key lane reductions as (1, chunk) rows via one-row MXU dots
+        mag_pt = jax.lax.dot_general(
+            ones_row, jnp.sqrt(gx * gx + gy * gy),
+            (((1,), (1,)), ((), ())), **_DOT)                 # (1, chunk)
+        npix = jax.lax.dot_general(
+            ones_row, contribute, (((1,), (1,)), ((), ())), **_DOT)
         mag_img = mag_img + jnp.concatenate(
-            [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
-             jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1)
+            [jnp.sum(jnp.abs(gx), axis=0, keepdims=True),
+             jnp.sum(jnp.abs(gy), axis=0, keepdims=True)], axis=0)  # (2, 256)
 
-        zeros = jnp.zeros_like(du)
+        zeros = jnp.zeros_like(grad_u)
         grad_slab = jnp.concatenate([
-            du, dv, da, db, dc, m0,            # rows 0..5 (m0 == dlogw)
+            grad_u, grad_v, da, db, dc, m0,    # rows 0..5 (m0 == dlogw)
             zeros, zeros,
             dcol[0:1, :], dcol[1:2, :], dcol[2:3, :],
             mag_pt, npix, zeros, zeros, zeros,
@@ -574,15 +523,15 @@ def _backward_kernel(starts_ref, ends_ref,
         wcopy.wait()
 
         # advance carries
-        Pg = Pg + jnp.sum(u_map, axis=1, keepdims=True)
+        Pg = Pg + jnp.sum(u_map, axis=0, keepdims=True)
         return (i + 1, T_next, sat_next, Pg, mag_img)
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.ones((PIXELS_PER_TILE, 1), jnp.float32),
-        jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),
-        jnp.zeros((PIXELS_PER_TILE, 1), jnp.float32),
-        jnp.zeros((PIXELS_PER_TILE, 2), jnp.float32),
+        jnp.ones((1, PIXELS_PER_TILE), jnp.float32),
+        jnp.zeros((1, PIXELS_PER_TILE), jnp.float32),
+        jnp.zeros((1, PIXELS_PER_TILE), jnp.float32),
+        jnp.zeros((2, PIXELS_PER_TILE), jnp.float32),
     )
     i_final, _, _, _, mag_img = jax.lax.while_loop(cond, body, init)
 
@@ -591,7 +540,7 @@ def _backward_kernel(starts_ref, ends_ref,
         get_dma(i_final).wait()
 
     mag_ref[0, :, :] = jnp.concatenate(
-        [mag_img, jnp.zeros((PIXELS_PER_TILE, 6), jnp.float32)], axis=1)
+        [mag_img, jnp.zeros((6, PIXELS_PER_TILE), jnp.float32)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "tiles_per_row",
@@ -600,12 +549,12 @@ def blend_backward(point_data, tile_starts, tile_ends, pixel_in, *,
                    num_tiles, tiles_per_row, chunk=128):
     """Backward pass of the tile blend.
 
-    pixel_in: (num_tiles, 256, 8) with columns [g_r, g_g, g_b, C_r, C_g, C_b,
+    pixel_in: (num_tiles, 8, 256) with rows [g_r, g_g, g_b, C_r, C_g, C_b,
     0, 0] (image cotangent and forward color output, per tile pixel).
 
     Returns:
       grad_data: (16, MAX_KEYS) per-key gradients (GROW_* rows)
-      mag_image: (num_tiles, 256, 8) with columns [mag_u, mag_v, 0...]
+      mag_image: (num_tiles, 8, 256) with rows [mag_u, mag_v, 0...]
     """
     max_keys = point_data.shape[1]
     assert max_keys % chunk == 0
@@ -619,13 +568,13 @@ def blend_backward(point_data, tile_starts, tile_ends, pixel_in, *,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PIXELS_PER_TILE, 8), lambda t, s, e: (t, 0, 0),
+            pl.BlockSpec((1, 8, PIXELS_PER_TILE), lambda t, s, e: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros to alias as grad out
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PIXELS_PER_TILE, 8), lambda t, s, e: (t, 0, 0),
+            pl.BlockSpec((1, 8, PIXELS_PER_TILE), lambda t, s, e: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -640,7 +589,7 @@ def blend_backward(point_data, tile_starts, tile_ends, pixel_in, *,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((NUM_DATA_ROWS, max_keys), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, PIXELS_PER_TILE, 8), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, PIXELS_PER_TILE), jnp.float32),
         ),
         # zeros input (index 4 incl. 2 scalar-prefetch + data + pix)
         # aliases the grad_data output so read-modify-write accumulation works

@@ -116,47 +116,28 @@ class TileGrid(NamedTuple):
 
 
 def _tiles_to_image(tile_out, grid: TileGrid):
-    """(num_tiles, 256, C) -> (H, W, C) pixel-major."""
+    """(num_tiles, C, 256) -> (H, W, C) pixel-major."""
     th = grid.tiles_per_col
     tw = grid.tiles_per_row
-    c = tile_out.shape[-1]
-    x = tile_out.reshape(th, tw, TILE_HEIGHT, TILE_WIDTH, c)
-    x = x.transpose(0, 2, 1, 3, 4)
+    c = tile_out.shape[1]
+    x = tile_out.reshape(th, tw, c, TILE_HEIGHT, TILE_WIDTH)
+    x = x.transpose(0, 3, 1, 4, 2)
     return x.reshape(grid.height, grid.width, c)
 
 
 def _image_to_tiles(image, grid: TileGrid):
-    """(H, W, C) -> (num_tiles, 256, C)."""
+    """(H, W, C) -> (num_tiles, C, 256)."""
     th = grid.tiles_per_col
     tw = grid.tiles_per_row
     c = image.shape[-1]
     x = image.reshape(th, TILE_HEIGHT, tw, TILE_WIDTH, c)
-    x = x.transpose(0, 2, 1, 3, 4)
-    return x.reshape(th * tw, TILE_HEIGHT * TILE_WIDTH, c)
-
-
-def _assemble_point_data(cols, depth, sorted_point_idx):
-    """Gather per-point attribute columns into the (16, MK) sorted slab.
-
-    cols = (u, v, conic_a, conic_b, conic_c, logw, color_r, color_g, color_b),
-    each (N,). The stack is lane-major (16, N) - no tile padding - and the
-    gather cost is ~5 ns per *index* on v5e (independent of the row count up
-    to the 16-sublane tile), so everything rides one gather. Carrying the
-    columns through the binning sort as payload operands instead was measured
-    slower (~1.7 ms per extra sort operand at 2.6M keys)."""
-    u, v, ca, cb, cc, logw, cr, cg, cb_col = cols
-    zeros = jnp.zeros_like(logw)
-    rows = jnp.stack([
-        u, v, ca, cb, cc, logw,
-        zeros, zeros,
-        cr, cg, cb_col, depth, jnp.ones_like(logw),
-        zeros, zeros, zeros,
-    ], axis=0)
-    return rows[:, sorted_point_idx]
+    x = x.transpose(0, 2, 4, 1, 3)
+    return x.reshape(th * tw, c, TILE_HEIGHT * TILE_WIDTH)
 
 
 class _BlendBinning(NamedTuple):
-    sorted_point_idx: jnp.ndarray
+    point_data: jnp.ndarray          # (16, MK) blend slab (one packed gather
+    #   by sorted point id inside the binning - see ops/tiling.py)
     sorted_pos: jnp.ndarray          # emission position per kept key
     tile_starts: jnp.ndarray
     tile_ends: jnp.ndarray
@@ -165,9 +146,8 @@ class _BlendBinning(NamedTuple):
     point_is_big: jnp.ndarray        # (N,) bool
 
 
-def _blend_fwd_explicit(cols, depth, binning, grid: TileGrid, chunk):
-    point_data = _assemble_point_data(cols, depth,
-                                      binning.sorted_point_idx)
+def _blend_fwd_explicit(binning, grid: TileGrid, chunk):
+    point_data = binning.point_data
     tile_out = BP.blend_forward(
         point_data, binning.tile_starts, binning.tile_ends,
         num_tiles=grid.num_tiles,
@@ -189,10 +169,10 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
 
     Returns per-point cotangent columns and BackwardStats.
     """
-    g_tiles = _image_to_tiles(g_image, grid)  # (T, 256, 3)
+    g_tiles = _image_to_tiles(g_image, grid)  # (T, 3, 256)
     pixel_in = jnp.concatenate(
-        [g_tiles, tile_out[:, :, 0:3], jnp.zeros_like(g_tiles[:, :, 0:2])],
-        axis=-1)  # (T, 256, 8)
+        [g_tiles, tile_out[:, 0:3, :], jnp.zeros_like(g_tiles[:, 0:2, :])],
+        axis=1)  # (T, 8, 256)
     grad_data, mag_image_tiles = BP.blend_backward(
         point_data, binning.tile_starts, binning.tile_ends, pixel_in,
         num_tiles=grid.num_tiles,
@@ -213,9 +193,11 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
                  BP.GROW_DLOGW, BP.GROW_DR, BP.GROW_DG, BP.GROW_DB_COL,
                  BP.GROW_MAG_UV, BP.GROW_NUM_PIXELS)
     row_of = {r: i for i, r in enumerate(live_rows)}
+    # unstable: emission positions are unique, so there are no ties, and a
+    # stable TPU sort would pay for a hidden iota tiebreaker operand
     sorted_rows = jax.lax.sort(
         (binning.sorted_pos, *(grad_data[i] for i in live_rows)),
-        num_keys=1, is_stable=True)
+        num_keys=1, is_stable=False)
     pos_compact = sorted_rows[0]
     grad_compact = jnp.stack(sorted_rows[1:], axis=0)    # (11, MK)
     num_live = len(live_rows)
@@ -294,6 +276,9 @@ def _float0_zeros(x):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _blend_core(static_cfg, cols, depth, blend_binning):
+    """The blend's primal computes from the slab inside `blend_binning` (the
+    sorted gather of `cols`/`depth`); `cols` and `depth` are the formal
+    differentiable inputs the hand-written VJP returns cotangents for."""
     out, _ = _blend_core_fwd(static_cfg, cols, depth, blend_binning)
     return out
 
@@ -301,8 +286,7 @@ def _blend_core(static_cfg, cols, depth, blend_binning):
 def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
     grid, chunk, n, t_b, n_big = static_cfg
     binning = _BlendBinning(*blend_binning)
-    point_data, tile_out = _blend_fwd_explicit(cols, depth, binning, grid,
-                                               chunk)
+    point_data, tile_out = _blend_fwd_explicit(binning, grid, chunk)
     residuals = (point_data, tile_out, blend_binning)
     return tile_out, residuals
 
@@ -311,8 +295,8 @@ def _blend_core_bwd(static_cfg, residuals, g_tile_out):
     grid, chunk, n, t_b, n_big = static_cfg
     point_data, tile_out, blend_binning = residuals
     binning = _BlendBinning(*blend_binning)
-    # only the rgb columns of the tile output carry gradient
-    g_image = _tiles_to_image(g_tile_out[:, :, 0:3], grid)
+    # only the rgb rows of the tile output carry gradient
+    g_image = _tiles_to_image(g_tile_out[:, 0:3, :], grid)
     cotangents, _ = _blend_bwd_explicit(
         point_data, tile_out, g_image, binning, grid, n, t_b, n_big, chunk)
     return (cotangents,
@@ -344,7 +328,8 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         big_point_divisor=config.big_point_divisor,
         max_keys=config.max_keys,
         chunk=config.chunk,
-        for_backward=not config.rgb_only)
+        for_backward=not config.rgb_only,
+        attr_cols=cols + (depth,))
     return attrs, cols, depth, binning
 
 
@@ -409,23 +394,18 @@ def rasterize(
                   config.max_tiles_per_point,
                   max(n // config.big_point_divisor, 1))
     blend_binning = _BlendBinning(
-        binning.sorted_point_idx, binning.sorted_pos,
+        binning.point_data, binning.sorted_pos,
         binning.tile_starts, binning.tile_ends, binning.segment_lengths,
         binning.point_big_rank, binning.point_is_big)
     if config.rgb_only:
         # inference fast path (reference rgb_only template flag,
         # reference: GaussianPointCloudRasterisation.py:342,409,464):
-        # no VJP machinery, no gradient routing metadata, lean kernel with
-        # pre-scaled conic rows
+        # no VJP machinery, no gradient routing metadata, lean kernel that
+        # skips the depth/count/last-effective bookkeeping
         grid = TileGrid.from_camera(camera_info)
-        u, v, ca, cb, cc, logw, cr, cg, cb_col = (
-            jax.lax.stop_gradient(c) for c in cols)
-        rgb_cols = (u, v, -0.5 * ca, -cb, -0.5 * cc, logw, cr, cg, cb_col)
-        point_data = _assemble_point_data(
-            rgb_cols, jax.lax.stop_gradient(depth),
-            blend_binning.sorted_point_idx)
         tile_out = BP.blend_forward_rgb(
-            point_data, blend_binning.tile_starts, blend_binning.tile_ends,
+            binning.point_data, blend_binning.tile_starts,
+            blend_binning.tile_ends,
             num_tiles=grid.num_tiles, tiles_per_row=grid.tiles_per_row,
             chunk=config.chunk)
     else:
@@ -463,11 +443,11 @@ def rasterize_with_vjp(
 
     grid = TileGrid.from_camera(camera_info)
     blend_binning = _BlendBinning(
-        binning.sorted_point_idx, binning.sorted_pos,
+        binning.point_data, binning.sorted_pos,
         binning.tile_starts, binning.tile_ends, binning.segment_lengths,
         binning.point_big_rank, binning.point_is_big)
     point_data, tile_out = _blend_fwd_explicit(
-        cols, depth, blend_binning, grid, config.chunk)
+        blend_binning, grid, config.chunk)
     result = _result_from_tile_out(tile_out, attrs, binning, camera_info)
 
     def vjp_fn(g_image):

@@ -45,7 +45,7 @@ beyond the tier-B pool capacity are dropped entirely (big_point_overflow).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,8 @@ class TileBinning(NamedTuple):
     key_overflow: jnp.ndarray         # () int32 keys dropped by max_keys
     tile_cap_overflow: jnp.ndarray    # () int32 tiles dropped (cap + pool)
     big_point_overflow: jnp.ndarray   # () int32 points dropped by tier-B pool
+    point_data: Optional[jnp.ndarray] = None  # (16, MK) blend slab (only
+    #   when attribute columns were passed - see blend_pallas ROW_* layout)
 
 
 def emission_capacity(n: int, max_tiles_per_point: int = 32,
@@ -144,11 +146,16 @@ def bin_points_to_tiles(
     max_keys: int = 2 ** 21,
     chunk: int = 128,
     for_backward: bool = True,
+    attr_cols: Optional[Sequence[jnp.ndarray]] = None,
 ) -> TileBinning:
     """for_backward=False (inference) drops everything only the gradient
-    routing needs: the emission-position sort operand (measured ~1.7 ms per
-    operand at 2.6M keys on v5e) and the big-point rank tables. The
-    corresponding TileBinning fields come back as zeros."""
+    routing needs: the emission-position sort operand and the big-point rank
+    tables. The corresponding TileBinning fields come back as zeros.
+
+    attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
+    conic_c, logw, r, g, b, depth). When given, the result carries
+    `point_data`, the (16, MK) blend slab, assembled with one packed gather
+    by sorted point id."""
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     depth = jax.lax.stop_gradient(depth)
@@ -181,7 +188,7 @@ def bin_points_to_tiles(
     is_big = (count_full > TIER_A_SLOTS)
     flag = jnp.where(is_big, jnp.int32(0), jnp.int32(1))
     _, big_ids = jax.lax.sort(
-        (flag, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        (flag, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
     big_ids = big_ids[:n_big]                                  # (N_BIG,)
     n_big_actual = jnp.sum(is_big.astype(jnp.int32))
     big_point_overflow = jnp.maximum(n_big_actual - n_big, 0)
@@ -224,7 +231,12 @@ def bin_points_to_tiles(
         operands.append(_flatten(jnp.where(valid_a, pos_a, INT32_MAX),
                                  jnp.where(valid_b, pos_b, INT32_MAX),
                                  INT32_MAX, jnp.int32))
-    sorted_all = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
+    # UNSTABLE sort: XLA implements a stable TPU sort by adding a hidden
+    # iota tiebreaker operand (visible in the optimized HLO comparator),
+    # which costs like a full extra payload (~1.7 ms at 2.6M rows). Ties in
+    # the packed key (same tile, same quantized depth) have no defined blend
+    # order in the reference either (torch.sort is also unstable).
+    sorted_all = jax.lax.sort(tuple(operands), num_keys=1, is_stable=False)
 
     # slice everything downstream to the max_keys budget (valid keys sort
     # first; the slice drops real keys only on overflow, which is counted)
@@ -235,6 +247,26 @@ def bin_points_to_tiles(
                   else jnp.zeros((mk,), jnp.int32))
     sorted_valid = sorted_key != INT32_MAX
     sorted_point_idx = jnp.where(sorted_valid, sorted_ids, 0)
+    point_data = None
+    if attr_cols is not None:
+        # blend slab in ROW_* layout (see blend_pallas): ONE (16, MK) packed
+        # gather of the per-point columns by sorted point id (~6 ns/index on
+        # v5e, independent of the row count up to the 16-sublane tile).
+        # Carrying the columns through the sort as payload operands instead
+        # was measured far slower: the sort costs ~1.7 ms/operand at 2.6M
+        # rows, so 10 payloads cost ~17 ms vs ~4 ms for this gather. (Beware
+        # when re-measuring: XLA deletes unused sort operands, so a probe
+        # must consume every output or it measures a smaller sort.)
+        u, v, ca, cb, cc, logw, cr, cg, cb_col, depth = (
+            jax.lax.stop_gradient(c.astype(jnp.float32)) for c in attr_cols)
+        zeros = jnp.zeros_like(logw)
+        rows = jnp.stack([
+            u, v, ca, cb, cc, logw,
+            zeros, zeros,
+            cr, cg, cb_col, depth, jnp.ones_like(logw),
+            zeros, zeros, zeros,
+        ], axis=0)                                   # (16, N)
+        point_data = rows[:, sorted_point_idx]       # (16, MK)
 
     if for_backward:
         # per-point emission range (for the backward's segmented reduction)
@@ -245,7 +277,7 @@ def bin_points_to_tiles(
         # scatter; instead carry the rank via sorting (big_ids, rank) by id.
         big_sorted_ids, big_sorted_rank = jax.lax.sort(
             (jnp.where(big_active, big_ids, INT32_MAX), big_rank),
-            num_keys=1, is_stable=True)
+            num_keys=1, is_stable=False)
         # searchsorted gives each point its rank slot (valid only for big
         # points)
         found = jnp.searchsorted(big_sorted_ids, point_arange,
@@ -293,4 +325,5 @@ def bin_points_to_tiles(
         key_overflow=key_overflow,
         tile_cap_overflow=jnp.sum(count_full) - total_emitted,
         big_point_overflow=big_point_overflow,
+        point_data=point_data,
     )
