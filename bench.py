@@ -64,7 +64,8 @@ def main():
     # headroom; training uses the larger defaults
     cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
                            max_tiles_per_point=32,
-                           big_point_divisor=16,
+                           big_point_divisor=32,
+                           mid_point_divisor=4,
                            max_keys=720_896,
                            rgb_only=True)
 

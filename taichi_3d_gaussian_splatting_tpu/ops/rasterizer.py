@@ -61,7 +61,8 @@ class RasterizerConfig:
     # tier-B slot budget for big splats, the big-point pool size, and the
     # post-sort key budget (see ops/tiling.py)
     max_tiles_per_point: int = 32
-    big_point_divisor: int = 8
+    big_point_divisor: int = 16
+    mid_point_divisor: int = 4
     max_keys: int = 2 ** 21
     chunk: int = 128
 
@@ -141,9 +142,9 @@ class _BlendBinning(NamedTuple):
     sorted_pos: jnp.ndarray          # emission position per kept key
     tile_starts: jnp.ndarray
     tile_ends: jnp.ndarray
-    segment_lengths: jnp.ndarray     # (N + N_BIG,) keys per emission segment
-    point_big_rank: jnp.ndarray      # (N,) tier-B pool rank per point
-    point_is_big: jnp.ndarray        # (N,) bool
+    segment_lengths: jnp.ndarray     # (N + BIG_CAP + MID_CAP,) keys/segment
+    point_pool_rank: jnp.ndarray     # (N,) combined mid/big pool rank
+    point_in_pool: jnp.ndarray       # (N,) bool
 
 
 def _blend_fwd_explicit(binning, grid: TileGrid, chunk):
@@ -156,15 +157,15 @@ def _blend_fwd_explicit(binning, grid: TileGrid, chunk):
 
 
 def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
-                        n, t_b, n_big, chunk):
+                        n, t_b, n_big, n_mid, chunk):
     """Run the Pallas backward and reduce per-key gradients to per-point.
 
     Scatter-free reduction (XLA scatters are ~100x slower than sorts on TPU,
     see ops/tiling.py): per-key gradients are permuted back to *emission
     order* via an argsort of the emission positions plus one gather. In
-    emission order every point's slots are a fixed-size block (4 tier-A
-    slots; t_b tier-B slots for pooled big points), so per-point sums are
-    plain reshape-reductions - exact, no atomics, no prefix sums. This
+    emission order every point's slots are a fixed-size block (2 tier-A
+    slots; 4 mid-pool slots; t_b big-pool slots), so per-point sums are
+    segmented shift-add reductions - exact, no atomics, no scatters. This
     replaces the reference's atomic adds (reference: :675-696).
 
     Returns per-point cotangent columns and BackwardStats.
@@ -201,19 +202,26 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
     pos_compact = sorted_rows[0]
     grad_compact = jnp.stack(sorted_rows[1:], axis=0)    # (11, MK)
     num_live = len(live_rows)
-    from .tiling import TIER_A_SLOTS, INT32_MAX
+    from .tiling import TIER_A_SLOTS, MID_SLOTS, INT32_MAX
 
     # segmented inclusive prefix sum via log-doubling shift-adds: segments
-    # are contiguous and at most max(4, t_b) long, so ceil(log2) masked
-    # shifts replace a global (16, MK) cumsum (which profiled at ~22 ms)
-    # and make the value at each segment's last row the full segment sum.
+    # are contiguous and at most max(MID_SLOTS, t_b) long, so ceil(log2)
+    # masked shifts replace a global (16, MK) cumsum (which profiled at
+    # ~22 ms) and make the value at each segment's last row the full segment
+    # sum. Segment ids follow the three-tier emission position layout
+    # (tier A: [0, 2N); big pool: [2N, 2N + t_b*BIG); mid pool after).
+    big_base = TIER_A_SLOTS * n
+    mid_base = big_base + t_b * n_big
     sid = jnp.where(
         pos_compact == INT32_MAX, INT32_MAX,
-        jnp.where(pos_compact < TIER_A_SLOTS * n,
+        jnp.where(pos_compact < big_base,
                   pos_compact // TIER_A_SLOTS,
-                  n + (pos_compact - TIER_A_SLOTS * n) // t_b))
+                  jnp.where(pos_compact < mid_base,
+                            n + (pos_compact - big_base) // t_b,
+                            n + n_big + (pos_compact - mid_base)
+                            // MID_SLOTS)))
     acc = grad_compact
-    max_seg = max(TIER_A_SLOTS, t_b)
+    max_seg = max(TIER_A_SLOTS, MID_SLOTS, t_b)
     shift = 1
     while shift < max_seg:
         same = jnp.concatenate([
@@ -228,11 +236,11 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
     # the emitted ones, so ends are just the running count totals; the
     # overflow fallback does an exact merge-sort search
     seg_len = binning.segment_lengths
-    nseg = seg_len.shape[0]
     boundaries = jnp.concatenate([
         (jnp.arange(n, dtype=jnp.int32) + 1) * TIER_A_SLOTS,
-        TIER_A_SLOTS * n + (jnp.arange(n_big, dtype=jnp.int32) + 1) * t_b,
-    ])                                                   # (N + N_BIG,)
+        big_base + (jnp.arange(n_big, dtype=jnp.int32) + 1) * t_b,
+        mid_base + (jnp.arange(n_mid, dtype=jnp.int32) + 1) * MID_SLOTS,
+    ])                                       # (N + BIG_CAP + MID_CAP,)
     seg_end = jax.lax.cond(
         jnp.sum(seg_len) <= mk,
         lambda: jnp.cumsum(seg_len),
@@ -242,10 +250,10 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
     hi = acc[:, jnp.clip(seg_end - 1, 0, mk - 1)]
     seg_sum = jnp.where((seg_end > seg_start)[None, :], hi, 0.0)
     tier_a = seg_sum[:, :n]
-    tier_b = seg_sum[:, n:]
-    from_big = jnp.where(binning.point_is_big[None, :],
-                         tier_b[:, binning.point_big_rank], 0.0)
-    per_point = tier_a + from_big                        # (num_live, N)
+    pool_sums = seg_sum[:, n:]               # (num_live, BIG_CAP + MID_CAP)
+    from_pool = jnp.where(binning.point_in_pool[None, :],
+                          pool_sums[:, binning.point_pool_rank], 0.0)
+    per_point = tier_a + from_pool                       # (num_live, N)
 
     cotangents = tuple(per_point[row_of[r]] for r in (
         BP.GROW_DU, BP.GROW_DV, BP.GROW_DA, BP.GROW_DB, BP.GROW_DC,
@@ -284,7 +292,7 @@ def _blend_core(static_cfg, cols, depth, blend_binning):
 
 
 def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
-    grid, chunk, n, t_b, n_big = static_cfg
+    grid, chunk, n, t_b, n_big, n_mid = static_cfg
     binning = _BlendBinning(*blend_binning)
     point_data, tile_out = _blend_fwd_explicit(binning, grid, chunk)
     residuals = (point_data, tile_out, blend_binning)
@@ -292,13 +300,14 @@ def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
 
 
 def _blend_core_bwd(static_cfg, residuals, g_tile_out):
-    grid, chunk, n, t_b, n_big = static_cfg
+    grid, chunk, n, t_b, n_big, n_mid = static_cfg
     point_data, tile_out, blend_binning = residuals
     binning = _BlendBinning(*blend_binning)
     # only the rgb rows of the tile output carry gradient
     g_image = _tiles_to_image(g_tile_out[:, 0:3, :], grid)
     cotangents, _ = _blend_bwd_explicit(
-        point_data, tile_out, g_image, binning, grid, n, t_b, n_big, chunk)
+        point_data, tile_out, g_image, binning, grid, n, t_b, n_big, n_mid,
+        chunk)
     return (cotangents,
             jnp.zeros_like(cotangents[0]),          # depth: no grad
             jax.tree.map(_float0_zeros, blend_binning))
@@ -326,6 +335,7 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         depth_to_sort_key_scale=config.depth_to_sort_key_scale,
         max_tiles_per_point=config.max_tiles_per_point,
         big_point_divisor=config.big_point_divisor,
+        mid_point_divisor=config.mid_point_divisor,
         max_keys=config.max_keys,
         chunk=config.chunk,
         for_backward=not config.rgb_only,
@@ -392,11 +402,12 @@ def rasterize(
         color_sh_mask)
     static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n,
                   config.max_tiles_per_point,
-                  max(n // config.big_point_divisor, 1))
+                  max(n // config.big_point_divisor, 1),
+                  max(n // config.mid_point_divisor, 1))
     blend_binning = _BlendBinning(
         binning.point_data, binning.sorted_pos,
         binning.tile_starts, binning.tile_ends, binning.segment_lengths,
-        binning.point_big_rank, binning.point_is_big)
+        binning.point_pool_rank, binning.point_in_pool)
     if config.rgb_only:
         # inference fast path (reference rgb_only template flag,
         # reference: GaussianPointCloudRasterisation.py:342,409,464):
@@ -445,7 +456,7 @@ def rasterize_with_vjp(
     blend_binning = _BlendBinning(
         binning.point_data, binning.sorted_pos,
         binning.tile_starts, binning.tile_ends, binning.segment_lengths,
-        binning.point_big_rank, binning.point_is_big)
+        binning.point_pool_rank, binning.point_in_pool)
     point_data, tile_out = _blend_fwd_explicit(
         blend_binning, grid, config.chunk)
     result = _result_from_tile_out(tile_out, attrs, binning, camera_info)
@@ -454,7 +465,8 @@ def rasterize_with_vjp(
         cotangents, stats = _blend_bwd_explicit(
             point_data, tile_out, g_image, blend_binning, grid, n,
             config.max_tiles_per_point,
-            max(n // config.big_point_divisor, 1), config.chunk)
+            max(n // config.big_point_divisor, 1),
+            max(n // config.mid_point_divisor, 1), config.chunk)
         grad_pc, grad_feats = attr_vjp(cotangents)
         return grad_pc, grad_feats, stats
 

@@ -1,4 +1,4 @@
-"""Tile binning under static shapes: two-tier padded emission -> one packed
+"""Tile binning under static shapes: three-tier padded emission -> one packed
 sort -> tile ranges. Completely scatter-free.
 
 This replaces four reference stages with TPU-native equivalents:
@@ -10,36 +10,48 @@ This replaces four reference stages with TPU-native equivalents:
 
 Why this shape (measured on TPU v5e): XLA scatters are catastrophically slow
 (~130ms for the compaction this module used to do; ~1.7s for the backward's
-27M-row scatter), while `lax.sort` is fast (~6ms for 2M x 3 operands). So
-instead of compacting a ragged (N, T_CAP) emission into a dense key buffer
-with a scatter and then sorting, we keep FIXED per-point slot budgets and
-sort the padded layout directly:
+27M-row scatter), while `lax.sort` is fast and costs ~0.7 ms per operand per
+million rows. So instead of compacting a ragged emission into a dense key
+buffer with a scatter and then sorting, we keep FIXED per-point slot budgets
+and sort the padded layout directly. The sort is the single most expensive
+binning stage and its cost is linear in rows x operands, so the tiers are
+sized from measured overlap statistics (Truck-scale scene at 976x544:
+70% of visible splats cover <= 2 tiles, 97% cover <= 4, ~2% cover > 4):
 
-- tier A: every point owns 4 slots - enough for the 2x2-tile bounding boxes
-  that cover the vast majority of splats;
-- tier B: points overlapping more than 4 tiles (selected with a cheap
-  flag-sort over N, no scatter) own `max_tiles_per_point` slots each in a
-  fixed pool of `N // big_point_divisor` big-point entries.
+- tier A: every point owns TIER_A_SLOTS=2 slots - enough for the 1x2/2x1
+  tile bounding boxes that cover the majority of splats;
+- tier M: points overlapping 3..MID_SLOTS=4 tiles get 4 slots each in a
+  fixed pool of `N // mid_point_divisor` entries;
+- tier B: points overlapping more than MID_SLOTS tiles own
+  `max_tiles_per_point` slots each in a pool of `N // big_point_divisor`.
+
+Both pools are selected by ONE category sort over N (key: 0=big, 1=mid,
+2=rest; payload: point id). Big ids are the static prefix `[:BIG_CAP]`; mid
+ids are a dynamic-start slice beginning at the (traced) big-point count.
+No scatter anywhere.
 
 Padding slots carry an int32-max key and sort to the end. The (tile, depth)
 order is packed into ONE int32 key: tile id in the high bits, quantized depth
 in the remaining `31 - ceil_log2(num_tiles)` bits (the reference quantizes to
 int32(depth * depth_to_sort_key_scale) in a 64-bit key, reference: :158-160;
 we saturate at the narrower budget and document the coarser tie-break).
+A 64-bit packed single-operand sort was measured and rejected: int64
+compares are emulated on v5e and cost the same as two int32 operands.
 
 The sort payload is the slot's *emission position* - a stable flattened
-index with contiguous per-point ranges (tier A point i owns [4i, 4i+count);
-tier B entry b owns [4N + T_B*b, ... + count)). After the sort, everything
-downstream is sliced to a `max_keys` budget: valid keys sort before padding,
-so the slice only ever drops real keys when the scene overflows the budget
-(counted in key_overflow, never silent). The backward pass exploits the
-emission ordering: sorting the kept keys by emission position makes every
-point's gradients contiguous, so per-point reduction is one cumulative-sum
-difference - no atomics, no scatter (see ops/rasterizer.py).
+index with contiguous per-point ranges (tier A point i owns [2i, 2i+count);
+big entry b owns [2N + T_B*b, ...); mid entry m owns
+[2N + T_B*BIG_CAP + 4m, ...)). After the sort, everything downstream is
+sliced to a `max_keys` budget: valid keys sort before padding, so the slice
+only ever drops real keys when the scene overflows the budget (counted in
+key_overflow, never silent). The backward pass exploits the emission
+ordering: sorting the kept keys by emission position makes every point's
+gradients contiguous, so per-point reduction is one segmented shift-add scan
+- no atomics, no scatter (see ops/rasterizer.py).
 
 Overflow is *counted and reported*, never silent: points whose bbox exceeds
-`max_tiles_per_point` tiles lose the excess (tile_cap_overflow); big points
-beyond the tier-B pool capacity are dropped entirely (big_point_overflow).
+`max_tiles_per_point` tiles lose the excess (tile_cap_overflow); mid/big
+points beyond their pool capacity are dropped entirely (big_point_overflow).
 """
 
 from __future__ import annotations
@@ -52,7 +64,8 @@ import jax.numpy as jnp
 
 from ..camera import CameraInfo, TILE_WIDTH, TILE_HEIGHT
 
-TIER_A_SLOTS = 4
+TIER_A_SLOTS = 2
+MID_SLOTS = 4
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -65,21 +78,29 @@ class TileBinning(NamedTuple):
     sorted_valid: jnp.ndarray         # (MK,) bool
     tile_starts: jnp.ndarray          # (num_tiles,) int32
     tile_ends: jnp.ndarray            # (num_tiles,) int32
-    segment_lengths: jnp.ndarray      # (N + N_BIG,) emitted keys per segment
-    point_big_rank: jnp.ndarray       # (N,) int32 tier-B pool rank (or 0)
-    point_is_big: jnp.ndarray         # (N,) bool in the tier-B pool
+    segment_lengths: jnp.ndarray      # (N + BIG_CAP + MID_CAP,) keys/segment
+    point_pool_rank: jnp.ndarray      # (N,) int32 combined pool rank: big
+    #   entries rank [0, BIG_CAP), mid entries [BIG_CAP, BIG_CAP + MID_CAP)
+    point_in_pool: jnp.ndarray        # (N,) bool emitted via a pool tier
     total_keys: jnp.ndarray           # () int32 valid keys emitted
     key_overflow: jnp.ndarray         # () int32 keys dropped by max_keys
     tile_cap_overflow: jnp.ndarray    # () int32 tiles dropped (cap + pool)
-    big_point_overflow: jnp.ndarray   # () int32 points dropped by tier-B pool
+    big_point_overflow: jnp.ndarray   # () int32 points dropped by pool caps
     point_data: Optional[jnp.ndarray] = None  # (16, MK) blend slab (only
     #   when attribute columns were passed - see blend_pallas ROW_* layout)
 
 
+def pool_capacities(n: int, mid_point_divisor: int = 4,
+                    big_point_divisor: int = 16):
+    return (max(n // mid_point_divisor, 1), max(n // big_point_divisor, 1))
+
+
 def emission_capacity(n: int, max_tiles_per_point: int = 32,
-                      big_point_divisor: int = 8, chunk: int = 128) -> int:
-    n_big = max(n // big_point_divisor, 1)
-    raw = TIER_A_SLOTS * n + max_tiles_per_point * n_big
+                      big_point_divisor: int = 16, chunk: int = 128,
+                      mid_point_divisor: int = 4) -> int:
+    n_mid, n_big = pool_capacities(n, mid_point_divisor, big_point_divisor)
+    raw = (TIER_A_SLOTS * n + MID_SLOTS * n_mid
+           + max_tiles_per_point * n_big)
     return ((raw + chunk - 1) // chunk) * chunk
 
 
@@ -142,14 +163,15 @@ def bin_points_to_tiles(
     camera_info: CameraInfo,
     depth_to_sort_key_scale: float = 100.0,
     max_tiles_per_point: int = 32,
-    big_point_divisor: int = 8,
+    big_point_divisor: int = 16,
     max_keys: int = 2 ** 21,
     chunk: int = 128,
     for_backward: bool = True,
     attr_cols: Optional[Sequence[jnp.ndarray]] = None,
+    mid_point_divisor: int = 4,
 ) -> TileBinning:
     """for_backward=False (inference) drops everything only the gradient
-    routing needs: the emission-position sort operand and the big-point rank
+    routing needs: the emission-position sort operand and the pool rank
     tables. The corresponding TileBinning fields come back as zeros.
 
     attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
@@ -163,11 +185,13 @@ def bin_points_to_tiles(
 
     n = u.shape[0]
     t_b = max_tiles_per_point
-    n_big = max(n // big_point_divisor, 1)
+    n_mid_cap, n_big_cap = pool_capacities(n, mid_point_divisor,
+                                           big_point_divisor)
     tiles_x = camera_info.camera_width // TILE_WIDTH
     num_tiles = camera_info.num_tiles
     depth_bits = 31 - max(int(math.ceil(math.log2(num_tiles + 1))), 1)
-    em_cap = emission_capacity(n, t_b, big_point_divisor, chunk)
+    em_cap = emission_capacity(n, t_b, big_point_divisor, chunk,
+                               mid_point_divisor)
 
     min_u, max_u, min_v, max_v = tile_bbox(u, v, radii, camera_info)
     du = max_u - min_u
@@ -177,59 +201,100 @@ def bin_points_to_tiles(
     depth_q = jnp.clip((depth * depth_to_sort_key_scale).astype(jnp.int32),
                        0, (1 << depth_bits) - 1)
 
-    # ---- tier A: every point, 4 slots (laid out (4, N), see _emit_tier) ----
+    # ---- tier A: every point, 2 slots (laid out (2, N), see _emit_tier) ----
     is_small = count_full <= TIER_A_SLOTS
     count_a = jnp.where(is_small, count_full, 0)
     slots_a = jnp.arange(TIER_A_SLOTS, dtype=jnp.int32)
     keys_a, valid_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
-                                 tiles_x, depth_bits)          # (4, N)
+                                 tiles_x, depth_bits)          # (2, N)
 
-    # ---- tier B: big points into a fixed pool (flag sort, no scatter) ----
-    is_big = (count_full > TIER_A_SLOTS)
-    flag = jnp.where(is_big, jnp.int32(0), jnp.int32(1))
-    _, big_ids = jax.lax.sort(
-        (flag, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
-    big_ids = big_ids[:n_big]                                  # (N_BIG,)
+    # ---- pools: ONE category sort selects both tiers (no scatter) ---------
+    # category 0 = big (count > MID_SLOTS), 1 = mid (TIER_A < count <= MID),
+    # 2 = everything else. After the unstable sort the big ids are the
+    # static prefix [:BIG_CAP]; the mid ids start at the traced big count,
+    # extracted with one dynamic-start slice.
+    is_big = count_full > MID_SLOTS
+    is_mid = (~is_big) & (count_full > TIER_A_SLOTS)
+    cat = jnp.where(is_big, 0, jnp.where(is_mid, 1, 2)).astype(jnp.int32)
+    _, sorted_ids_by_cat = jax.lax.sort(
+        (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
     n_big_actual = jnp.sum(is_big.astype(jnp.int32))
-    big_point_overflow = jnp.maximum(n_big_actual - n_big, 0)
-    big_rank = jnp.arange(n_big, dtype=jnp.int32)
-    big_active = big_rank < jnp.minimum(n_big_actual, n_big)
+    n_mid_actual = jnp.sum(is_mid.astype(jnp.int32))
 
-    count_b_full = jnp.where(big_active, count_full[big_ids], 0)
-    count_b = jnp.minimum(count_b_full, t_b)
+    big_ids = sorted_ids_by_cat[:n_big_cap]                    # (BIG_CAP,)
+    big_rank = jnp.arange(n_big_cap, dtype=jnp.int32)
+    big_active = big_rank < jnp.minimum(n_big_actual, n_big_cap)
+
+    # mid slice start: clamp ourselves so the entry -> sorted-position map
+    # stays explicit even when big count + MID_CAP exceeds N
+    mid_start = jnp.minimum(n_big_actual,
+                            jnp.int32(max(n - n_mid_cap, 0)))
+    mid_ids = jax.lax.dynamic_slice(sorted_ids_by_cat, (mid_start,),
+                                    (n_mid_cap,))              # (MID_CAP,)
+    mid_rank = jnp.arange(n_mid_cap, dtype=jnp.int32)
+    mid_sorted_pos = mid_start + mid_rank
+    mid_active = ((mid_sorted_pos >= n_big_actual)
+                  & (mid_sorted_pos < n_big_actual + n_mid_actual))
+    n_mid_in_pool = jnp.sum(mid_active.astype(jnp.int32))
+    big_point_overflow = (jnp.maximum(n_big_actual - n_big_cap, 0)
+                          + (n_mid_actual - n_mid_in_pool))
+
+    # per-entry emission inputs for both pools: one packed-table gather
+    # (5 int32 columns x (BIG_CAP + MID_CAP) indices)
+    pool_ids = jnp.concatenate([big_ids, mid_ids])
+    pool_tbl = jnp.stack([min_u, min_v, dv, depth_q, count_full],
+                         axis=0)[:, pool_ids]                  # (5, B+M)
+    bm_min_u, bm_min_v, bm_dv, bm_depth_q, bm_count = pool_tbl
+
+    count_b = jnp.where(big_active,
+                        jnp.minimum(bm_count[:n_big_cap], t_b), 0)
     slots_b = jnp.arange(t_b, dtype=jnp.int32)
-    keys_b, valid_b = _emit_tier(slots_b, count_b, min_u[big_ids],
-                                 min_v[big_ids], dv[big_ids],
-                                 depth_q[big_ids], tiles_x, depth_bits)
+    keys_b, valid_b = _emit_tier(slots_b, count_b, bm_min_u[:n_big_cap],
+                                 bm_min_v[:n_big_cap], bm_dv[:n_big_cap],
+                                 bm_depth_q[:n_big_cap], tiles_x, depth_bits)
+
+    count_m = jnp.where(mid_active, bm_count[n_big_cap:], 0)
+    slots_m = jnp.arange(MID_SLOTS, dtype=jnp.int32)
+    keys_m, valid_m = _emit_tier(slots_m, count_m, bm_min_u[n_big_cap:],
+                                 bm_min_v[n_big_cap:], bm_dv[n_big_cap:],
+                                 bm_depth_q[n_big_cap:], tiles_x, depth_bits)
 
     # ---- flatten + pad + one packed sort ------------------------------
     # Emission POSITION values stay contiguous per point (tier-A point i owns
-    # [4i, 4i+count), tier-B entry b owns [4N + t_b*b, ...)) even though the
-    # memory layout is slot-major; the backward's segmented reduction keys off
-    # these values. Padding slots get a sentinel position so the
-    # sort-by-position compaction puts them after every real segment.
+    # [2i, 2i+count); big entry b owns [2N + t_b*b, ...); mid entry m owns
+    # [2N + t_b*BIG_CAP + 4m, ...)) even though the memory layout is
+    # slot-major; the backward's segmented reduction keys off these values.
+    # Padding slots get a sentinel position so the sort-by-position
+    # compaction puts them after every real segment.
     pt_a = jax.lax.broadcasted_iota(jnp.int32, (TIER_A_SLOTS, n), 1)
-    pad_len = em_cap - TIER_A_SLOTS * n - t_b * n_big
+    pad_len = (em_cap - TIER_A_SLOTS * n - t_b * n_big_cap
+               - MID_SLOTS * n_mid_cap)
 
-    def _flatten(tier_a, tier_b, pad_value, dtype):
+    def _flatten(tier_a, tier_b, tier_m, pad_value, dtype):
         return jnp.concatenate([
             tier_a.reshape(-1).astype(dtype), tier_b.reshape(-1).astype(dtype),
+            tier_m.reshape(-1).astype(dtype),
             jnp.full((pad_len,), pad_value, dtype)])
 
-    flat_keys = _flatten(keys_a, keys_b, INT32_MAX, jnp.int32)
+    flat_keys = _flatten(keys_a, keys_b, keys_m, INT32_MAX, jnp.int32)
     # the point id rides through the sort as a payload: deriving it from the
     # emission position afterwards would need an (EM_CAP,) gather from the
-    # big-point table, which is slow on TPU
+    # pool tables, which is slow on TPU
     flat_ids = _flatten(jnp.broadcast_to(pt_a, (TIER_A_SLOTS, n)),
-                        jnp.broadcast_to(big_ids[None, :], (t_b, n_big)),
+                        jnp.broadcast_to(big_ids[None, :], (t_b, n_big_cap)),
+                        jnp.broadcast_to(mid_ids[None, :],
+                                         (MID_SLOTS, n_mid_cap)),
                         0, jnp.int32)
     operands = [flat_keys, flat_ids]
+    big_base = TIER_A_SLOTS * n
+    mid_base = big_base + t_b * n_big_cap
     if for_backward:
         pos_a = pt_a * TIER_A_SLOTS + slots_a[:, None]
-        pos_b = (TIER_A_SLOTS * n + big_rank[None, :] * t_b
-                 + slots_b[:, None])
+        pos_b = big_base + big_rank[None, :] * t_b + slots_b[:, None]
+        pos_m = mid_base + mid_rank[None, :] * MID_SLOTS + slots_m[:, None]
         operands.append(_flatten(jnp.where(valid_a, pos_a, INT32_MAX),
                                  jnp.where(valid_b, pos_b, INT32_MAX),
+                                 jnp.where(valid_m, pos_m, INT32_MAX),
                                  INT32_MAX, jnp.int32))
     # UNSTABLE sort: XLA implements a stable TPU sort by adding a hidden
     # iota tiebreaker operand (visible in the optimized HLO comparator),
@@ -269,29 +334,28 @@ def bin_points_to_tiles(
         point_data = rows[:, sorted_point_idx]       # (16, MK)
 
     if for_backward:
-        # per-point emission range (for the backward's segmented reduction)
-        point_arange = jnp.arange(n, dtype=jnp.int32)
-        # tier B start per point: need rank of each big point;
-        # big_ids[rank] = id. Build id -> rank with a second flag sort
-        # payload trick: sort (big_ids padded with sentinel) would need a
-        # scatter; instead carry the rank via sorting (big_ids, rank) by id.
-        big_sorted_ids, big_sorted_rank = jax.lax.sort(
-            (jnp.where(big_active, big_ids, INT32_MAX), big_rank),
+        # point id -> combined pool rank (big ranks first, then mid), for
+        # the backward's segmented reduction: sort (pool id, rank) by id,
+        # then one searchsorted per point. Inactive entries get a sentinel
+        # id so they can never match a real point.
+        pool_rank = jnp.arange(n_big_cap + n_mid_cap, dtype=jnp.int32)
+        pool_active = jnp.concatenate([big_active, mid_active])
+        pool_sorted_ids, pool_sorted_rank = jax.lax.sort(
+            (jnp.where(pool_active, pool_ids, INT32_MAX), pool_rank),
             num_keys=1, is_stable=False)
-        # searchsorted gives each point its rank slot (valid only for big
-        # points)
-        found = jnp.searchsorted(big_sorted_ids, point_arange,
+        point_arange = jnp.arange(n, dtype=jnp.int32)
+        found = jnp.searchsorted(pool_sorted_ids, point_arange,
                                  method="sort").astype(jnp.int32)
-        found = jnp.clip(found, 0, n_big - 1)
-        rank_of_point = big_sorted_rank[found]
-        is_pooled_big = (big_sorted_ids[found] == point_arange) & is_big
-        point_big_rank = jnp.where(is_pooled_big, rank_of_point, 0)
+        found = jnp.clip(found, 0, n_big_cap + n_mid_cap - 1)
+        rank_of_point = pool_sorted_rank[found]
+        point_in_pool = pool_sorted_ids[found] == point_arange
+        point_pool_rank = jnp.where(point_in_pool, rank_of_point, 0)
     else:
-        is_pooled_big = jnp.zeros((n,), bool)
-        point_big_rank = jnp.zeros((n,), jnp.int32)
+        point_in_pool = jnp.zeros((n,), bool)
+        point_pool_rank = jnp.zeros((n,), jnp.int32)
     # per-segment emitted key counts in emission order: N tier-A segments
-    # (count_a) followed by N_BIG tier-B segments (count_b)
-    segment_lengths = jnp.concatenate([count_a, count_b])
+    # (count_a), BIG_CAP tier-B segments, MID_CAP tier-M segments
+    segment_lengths = jnp.concatenate([count_a, count_b, count_m])
 
     # one unrolled binary search for all tile boundaries: starts[t] and
     # ends[t] = starts[t+1] come from a single (num_tiles+1)-query search.
@@ -303,7 +367,7 @@ def bin_points_to_tiles(
     tile_starts = edges[:-1]
     tile_ends = edges[1:]
 
-    total_emitted = jnp.sum(count_a) + jnp.sum(count_b)
+    total_emitted = jnp.sum(count_a) + jnp.sum(count_b) + jnp.sum(count_m)
     key_overflow = jnp.maximum(total_emitted - mk, 0)
     sorted_tile_id = jnp.where(sorted_valid, sorted_key >> depth_bits,
                                num_tiles)
@@ -319,8 +383,8 @@ def bin_points_to_tiles(
         tile_starts=tile_starts,
         tile_ends=tile_ends,
         segment_lengths=segment_lengths,
-        point_big_rank=point_big_rank,
-        point_is_big=is_pooled_big,
+        point_pool_rank=point_pool_rank,
+        point_in_pool=point_in_pool,
         total_keys=total_emitted,
         key_overflow=key_overflow,
         tile_cap_overflow=jnp.sum(count_full) - total_emitted,

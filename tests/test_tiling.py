@@ -118,36 +118,63 @@ def test_big_point_pool_overflow_reported():
     assert int(b.tile_cap_overflow) > 0
 
 
+def test_mid_point_pool_overflow_reported():
+    # more mid points (3..4 tiles) than the tier-M pool: dropped + counted
+    cam = make_camera()
+    n = 8
+    uv = jnp.tile(jnp.array([[16.0, 16.0]]), (n, 1))  # 2x2-tile corner
+    depth = jnp.arange(1, n + 1, dtype=jnp.float32)
+    radii = jnp.full((n,), 2.0)  # each covers exactly 4 tiles -> all "mid"
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii,
+                                   jnp.ones((n,), bool), cam,
+                                   max_tiles_per_point=8,
+                                   mid_point_divisor=4)  # pool = 2 entries
+    assert int(b.big_point_overflow) == 6
+    assert int(b.total_keys) == 8
+    assert int(b.tile_cap_overflow) == 24
+
+
 def test_segment_lengths_match_emitted_keys():
     # segment_lengths must count exactly the keys each point emitted
     # (the backward's segmented reduction depends on this)
     cam = make_camera()
     rng = np.random.default_rng(0)
     n = 40
+    t_b = 16
     uv = jnp.array(np.stack([rng.uniform(0, 64, n),
                              rng.uniform(0, 48, n)], 1).astype(np.float32))
     depth = jnp.array(rng.uniform(1, 50, n).astype(np.float32))
     radii = jnp.array(rng.uniform(0.5, 20, n).astype(np.float32))
     b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii,
                                    jnp.ones((n,), bool),
-                                   cam, max_tiles_per_point=16,
-                                   big_point_divisor=2)
+                                   cam, max_tiles_per_point=t_b,
+                                   big_point_divisor=2,
+                                   mid_point_divisor=2)
+    big_cap = n // 2
     valid = np.asarray(b.sorted_valid)
     pts = np.asarray(b.sorted_point_idx)[valid]
     seg = np.asarray(b.segment_lengths)
-    rank = np.asarray(b.point_big_rank)
-    is_big = np.asarray(b.point_is_big)
+    rank = np.asarray(b.point_pool_rank)
+    in_pool = np.asarray(b.point_in_pool)
     per_point = np.zeros(n, np.int64)
     uniq, counts = np.unique(pts, return_counts=True)
     per_point[uniq] = counts
     for i in range(n):
-        expected = seg[n + rank[i]] if is_big[i] else seg[i]
+        expected = seg[n + rank[i]] if in_pool[i] else seg[i]
         assert per_point[i] == expected, (i, per_point[i], expected)
     # positions of valid keys fall inside their segment's emission range
+    # (tier A: 2 slots at 2i; big pool: t_b slots from 2n; mid pool: 4
+    # slots after the big pool)
+    a_slots = tiling.TIER_A_SLOTS
+    mid_base = a_slots * n + big_cap * t_b
     pos = np.asarray(b.sorted_pos)[valid]
     for p_, i in zip(pos, pts):
-        if is_big[i]:
-            start = 4 * n + rank[i] * 16
-            assert start <= p_ < start + 16
+        if in_pool[i]:
+            if rank[i] < big_cap:
+                start = a_slots * n + rank[i] * t_b
+                assert start <= p_ < start + t_b
+            else:
+                start = mid_base + (rank[i] - big_cap) * tiling.MID_SLOTS
+                assert start <= p_ < start + tiling.MID_SLOTS
         else:
-            assert 4 * i <= p_ < 4 * i + 4
+            assert a_slots * i <= p_ < a_slots * i + a_slots
