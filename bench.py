@@ -90,7 +90,8 @@ def main():
     dropped = int(probe.aux.key_overflow) + int(probe.aux.big_point_overflow)
     if dropped > 0:
         print(f"WARNING: {dropped} keys/points dropped by capacity budgets; "
-              f"raise max_keys/big_point_divisor", file=sys.stderr)
+              f"raise max_keys/big_point_divisor", file=sys.stderr,
+              flush=True)
     # warmup (compile + cache)
     p, img = fwd(pc, feats)
     img.block_until_ready()
@@ -106,12 +107,95 @@ def main():
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
-    print(json.dumps({
+    record = {
         "metric": "render_fps_976x544_430k_points",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            ms = measure_train_step(pc, feats, cam)
+            # reference training wall-clock: 2-3 h for 30k iterations on a
+            # T4 (reference: README.md:276) = 240-360 ms per iteration
+            record["train_step_ms"] = round(ms, 2)
+            record["train_iters_per_sec"] = round(1000.0 / ms, 2)
+        except Exception as exc:  # keep the headline metric alive
+            print(f"WARNING: train-step benchmark failed: {exc}",
+                  file=sys.stderr)
+    print(json.dumps(record), flush=True)
+
+
+def measure_train_step(pc, feats, cam):
+    """Full training-step latency (forward + backward + dual adam +
+    controller statistics) at the benchmark workload, chained so tunnel
+    dispatch cannot overlap steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        RasterizerConfig, rasterize_with_vjp)
+    from taichi_3d_gaussian_splatting_tpu.ops.sh import feature_sh_band_mask
+    from taichi_3d_gaussian_splatting_tpu.training.loss import (
+        LossFunction, LossFunctionConfig)
+    from taichi_3d_gaussian_splatting_tpu.training.controller import (
+        ControllerState, update_stats)
+
+    n = pc.shape[0]
+    cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
+                           max_tiles_per_point=32,
+                           big_point_divisor=16,
+                           mid_point_divisor=4,
+                           max_keys=2 ** 20)
+    invalid = jnp.zeros((n,), jnp.int8)
+    obj = jnp.zeros((n,), jnp.int32)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+    h, w = cam.camera_height, cam.camera_width
+    gt = jnp.array(np.random.default_rng(1).uniform(0, 1, (h, w, 3)),
+                   jnp.float32)
+    loss_fn = LossFunction(LossFunctionConfig())
+    fopt = optax.adam(1e-3)
+    popt = optax.adam(1e-5)
+    band_mask = feature_sh_band_mask(jnp.int32(3))
+
+    @jax.jit
+    def step(pc, feats, fstate, pstate, ctrl):
+        qn = feats[:, 0:4] / jnp.linalg.norm(feats[:, 0:4], axis=1,
+                                             keepdims=True)
+        feats = feats.at[:, 0:4].set(qn)
+        result, vjp_fn = rasterize_with_vjp(
+            pc, feats, invalid, obj, q_cam, t_cam, cam, cfg)
+
+        def image_loss(image, features):
+            img = jnp.clip(image, 0.0, 1.0)
+            loss, l1, ld = loss_fn(img, gt, point_invalid_mask=invalid,
+                                   pointcloud_features=features)
+            return loss, (l1, ld, img)
+
+        (loss, _), (g_image, g_feats_direct) = jax.value_and_grad(
+            image_loss, argnums=(0, 1), has_aux=True)(result.image, feats)
+        grad_pc, grad_feats_raster, stats = vjp_fn(g_image)
+        grad_feats = grad_feats_raster * band_mask + g_feats_direct
+        uf, fstate = fopt.update(grad_feats, fstate, feats)
+        feats = optax.apply_updates(feats, uf)
+        up, pstate = popt.update(grad_pc, pstate, pc)
+        pc = optax.apply_updates(pc, up)
+        ctrl = update_stats(ctrl, stats, grad_pc, result.aux.in_frustum)
+        return pc, feats, fstate, pstate, ctrl, loss
+
+    state = (pc, feats, fopt.init(feats), popt.init(pc),
+             ControllerState.zeros(n))
+    for _ in range(4):  # compile + warmup
+        state = step(*state)[:5]
+    state[0].block_until_ready()
+    reps = int(os.environ.get("BENCH_TRAIN_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(*state)
+        state = out[:5]
+    out[5].block_until_ready()
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 if __name__ == "__main__":

@@ -96,3 +96,14 @@ for _ in range(REPS):
 loss.block_until_ready()
 ms = (time.perf_counter() - t0) / REPS * 1e3
 print(f"train_step: {ms:.2f} ms  ({1000.0 / ms:.2f} it/s)  loss={float(loss):.4f}")
+
+if os.environ.get("TRACE"):
+    import shutil
+    td = "/tmp/train_trace"
+    shutil.rmtree(td, ignore_errors=True)
+    with jax.profiler.trace(td):
+        for _ in range(5):
+            pc2, feats2, fstate, pstate, ctrl, loss, _ = step(
+                pc2, feats2, fstate, pstate, ctrl)
+        loss.block_until_ready()
+    print("trace written to", td)

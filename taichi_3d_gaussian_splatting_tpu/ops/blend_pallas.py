@@ -409,6 +409,13 @@ def _backward_kernel(starts_ref, ends_ref,
             data_hbm.at[:, pl.ds(aligned_start + i * chunk, chunk)],
             chunk_buf.at[slot], dma_sem.at[slot])
 
+    def put_dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            grad_buf.at[slot],
+            grad_hbm.at[:, pl.ds(aligned_start + i * chunk, chunk)],
+            grad_sem.at[slot])
+
     @pl.when(num_chunks > 0)
     def _():
         get_dma(0).start()
@@ -510,17 +517,33 @@ def _backward_kernel(starts_ref, ends_ref,
             mag_pt, npix, zeros, zeros, zeros,
         ], axis=0)                                            # (16, chunk)
 
-        # read-modify-write keeps neighbors' boundary columns intact; the
-        # output buffer is donated zeros and the TPU grid runs sequentially.
-        rcopy = pltpu.make_async_copy(
-            grad_hbm.at[:, pl.ds(col0, chunk)], grad_buf, grad_sem)
-        rcopy.start()
-        rcopy.wait()
-        grad_buf[:] = grad_buf[:] + grad_slab
-        wcopy = pltpu.make_async_copy(
-            grad_buf, grad_hbm.at[:, pl.ds(col0, chunk)], grad_sem)
-        wcopy.start()
-        wcopy.wait()
+        # Pipelined gradient writeback. Only the FIRST chunk of a tile can
+        # overlap a neighbor's columns (the previous tile's segment may end
+        # inside [aligned_start, start)), so only chunk 0 pays a blocking
+        # read-modify-write; every other chunk is exclusively owned and its
+        # write DMA overlaps the next chunk's compute through a 2-slot
+        # buffer. The output buffer is donated zeros and the TPU grid runs
+        # sequentially, so the next tile's chunk-0 read observes this
+        # tile's drained writes.
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i >= 2)
+        def _():
+            put_dma(i - 2).wait()
+
+        @pl.when(i == 0)
+        def _():
+            rcopy = pltpu.make_async_copy(
+                grad_hbm.at[:, pl.ds(col0, chunk)], grad_buf.at[slot],
+                grad_sem.at[slot])
+            rcopy.start()
+            rcopy.wait()
+            grad_buf[slot] = grad_buf[slot] + grad_slab
+
+        @pl.when(i > 0)
+        def _():
+            grad_buf[slot] = grad_slab
+        put_dma(i).start()
 
         # advance carries
         Pg = Pg + jnp.sum(u_map, axis=0, keepdims=True)
@@ -538,6 +561,16 @@ def _backward_kernel(starts_ref, ends_ref,
     @pl.when((i_final < num_chunks) & (num_chunks > 0))
     def _():
         get_dma(i_final).wait()
+
+    # drain the (up to two) in-flight gradient writes before the next tile's
+    # chunk-0 read-modify-write can observe these columns
+    @pl.when(i_final >= 2)
+    def _():
+        put_dma(i_final - 2).wait()
+
+    @pl.when(i_final >= 1)
+    def _():
+        put_dma(i_final - 1).wait()
 
     mag_ref[0, :, :] = jnp.concatenate(
         [mag_img, jnp.zeros((6, PIXELS_PER_TILE), jnp.float32)], axis=0)
@@ -579,9 +612,9 @@ def blend_backward(point_data, tile_starts, tile_ends, pixel_in, *,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((NUM_DATA_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     grad_data, mag_image = pl.pallas_call(

@@ -139,12 +139,12 @@ def _image_to_tiles(image, grid: TileGrid):
 class _BlendBinning(NamedTuple):
     point_data: jnp.ndarray          # (16, MK) blend slab (one packed gather
     #   by sorted point id inside the binning - see ops/tiling.py)
-    sorted_pos: jnp.ndarray          # emission position per kept key
+    sorted_point_idx: jnp.ndarray    # (MK,) owning point id per kept key
+    sorted_valid: jnp.ndarray        # (MK,) bool
     tile_starts: jnp.ndarray
     tile_ends: jnp.ndarray
-    segment_lengths: jnp.ndarray     # (N + BIG_CAP + MID_CAP,) keys/segment
-    point_pool_rank: jnp.ndarray     # (N,) combined mid/big pool rank
-    point_in_pool: jnp.ndarray       # (N,) bool
+    point_kept_keys: jnp.ndarray     # (N,) kept keys per point (optimistic)
+    any_dropped: jnp.ndarray         # () bool pool or key budget overflowed
 
 
 def _blend_fwd_explicit(binning, grid: TileGrid, chunk):
@@ -157,16 +157,16 @@ def _blend_fwd_explicit(binning, grid: TileGrid, chunk):
 
 
 def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
-                        n, t_b, n_big, n_mid, chunk):
+                        n, t_b, chunk):
     """Run the Pallas backward and reduce per-key gradients to per-point.
 
     Scatter-free reduction (XLA scatters are ~100x slower than sorts on TPU,
-    see ops/tiling.py): per-key gradients are permuted back to *emission
-    order* via an argsort of the emission positions plus one gather. In
-    emission order every point's slots are a fixed-size block (2 tier-A
-    slots; 4 mid-pool slots; t_b big-pool slots), so per-point sums are
-    segmented shift-add reductions - exact, no atomics, no scatters. This
-    replaces the reference's atomic adds (reference: :675-696).
+    see ops/tiling.py): per-key gradients ride one unstable sort keyed by
+    the owning point id, which makes every point's rows contiguous; a
+    segmented shift-add scan then turns each segment's last row into the
+    full per-point sum, read out with a single (N,) gather at the cumsum'd
+    kept-key counts. Exact, no atomics, no scatters. This replaces the
+    reference's atomic adds (reference: :675-696).
 
     Returns per-point cotangent columns and BackwardStats.
     """
@@ -180,12 +180,9 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
         tiles_per_row=grid.tiles_per_row, chunk=chunk)
 
     mk = grad_data.shape[1]
-    # reorder kept-key gradients to emission order (compacted): valid keys
-    # sorted by emission position make every point's keys contiguous
-    # (padding keys carry a sentinel position and sort last with zero
-    # gradients). Exact per-segment edges come from a binary search over the
-    # compacted positions, which stays correct even if max_keys overflow
-    # dropped keys from the middle of segments.
+    # reorder kept-key gradients to per-point order: re-sorting the keys BY
+    # OWNING POINT ID makes every point's gradient rows contiguous (padding
+    # keys get a sentinel id and sort last with zero gradients).
     # carry the gradient rows through the sort as payloads: a permutation
     # gather of (16, MK) costs ~3x more than sorting the rows along (profiled
     # 58 ms gather vs ~20 ms sort); only the 11 non-zero GROW_* rows ride
@@ -194,36 +191,26 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
                  BP.GROW_DLOGW, BP.GROW_DR, BP.GROW_DG, BP.GROW_DB_COL,
                  BP.GROW_MAG_UV, BP.GROW_NUM_PIXELS)
     row_of = {r: i for i, r in enumerate(live_rows)}
-    # unstable: emission positions are unique, so there are no ties, and a
-    # stable TPU sort would pay for a hidden iota tiebreaker operand
+    from .tiling import INT32_MAX
+    id_key = jnp.where(binning.sorted_valid, binning.sorted_point_idx,
+                       INT32_MAX)
+    # unstable: ties (multiple keys of one point) only permute rows within
+    # a segment, which the segment sum is invariant to, and a stable TPU
+    # sort would pay for a hidden iota tiebreaker operand
     sorted_rows = jax.lax.sort(
-        (binning.sorted_pos, *(grad_data[i] for i in live_rows)),
+        (id_key, *(grad_data[i] for i in live_rows)),
         num_keys=1, is_stable=False)
-    pos_compact = sorted_rows[0]
+    sid = sorted_rows[0]
     grad_compact = jnp.stack(sorted_rows[1:], axis=0)    # (11, MK)
     num_live = len(live_rows)
-    from .tiling import TIER_A_SLOTS, MID_SLOTS, INT32_MAX
 
-    # segmented inclusive prefix sum via log-doubling shift-adds: segments
-    # are contiguous and at most max(MID_SLOTS, t_b) long, so ceil(log2)
-    # masked shifts replace a global (16, MK) cumsum (which profiled at
-    # ~22 ms) and make the value at each segment's last row the full segment
-    # sum. Segment ids follow the three-tier emission position layout
-    # (tier A: [0, 2N); big pool: [2N, 2N + t_b*BIG); mid pool after).
-    big_base = TIER_A_SLOTS * n
-    mid_base = big_base + t_b * n_big
-    sid = jnp.where(
-        pos_compact == INT32_MAX, INT32_MAX,
-        jnp.where(pos_compact < big_base,
-                  pos_compact // TIER_A_SLOTS,
-                  jnp.where(pos_compact < mid_base,
-                            n + (pos_compact - big_base) // t_b,
-                            n + n_big + (pos_compact - mid_base)
-                            // MID_SLOTS)))
+    # segmented inclusive prefix sum via log-doubling shift-adds: a point
+    # owns at most t_b keys, so ceil(log2(t_b)) masked shifts replace a
+    # global (16, MK) cumsum (which profiled at ~22 ms) and make the value
+    # at each segment's last row the full segment sum.
     acc = grad_compact
-    max_seg = max(TIER_A_SLOTS, MID_SLOTS, t_b)
     shift = 1
-    while shift < max_seg:
+    while shift < t_b:
         same = jnp.concatenate([
             jnp.zeros((shift,), bool),
             sid[shift:] == sid[:-shift]])                # (MK,)
@@ -232,28 +219,19 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
         acc = acc + jnp.where(same[None, :], shifted, 0.0)
         shift *= 2
 
-    # segment end indices: without key overflow the kept keys are exactly
-    # the emitted ones, so ends are just the running count totals; the
-    # overflow fallback does an exact merge-sort search
-    seg_len = binning.segment_lengths
-    boundaries = jnp.concatenate([
-        (jnp.arange(n, dtype=jnp.int32) + 1) * TIER_A_SLOTS,
-        big_base + (jnp.arange(n_big, dtype=jnp.int32) + 1) * t_b,
-        mid_base + (jnp.arange(n_mid, dtype=jnp.int32) + 1) * MID_SLOTS,
-    ])                                       # (N + BIG_CAP + MID_CAP,)
+    # per-point segment ends: when nothing was dropped the kept counts are
+    # exact and ends are a plain running sum; the overflow fallback does an
+    # exact merge-sort search over the sorted ids
+    point_arange = jnp.arange(n, dtype=jnp.int32)
     seg_end = jax.lax.cond(
-        jnp.sum(seg_len) <= mk,
-        lambda: jnp.cumsum(seg_len),
-        lambda: jnp.searchsorted(pos_compact, boundaries, side="left",
-                                 method="sort").astype(jnp.int32))
+        binning.any_dropped,
+        lambda: jnp.searchsorted(sid, point_arange, side="right",
+                                 method="sort").astype(jnp.int32),
+        lambda: jnp.cumsum(binning.point_kept_keys))
     seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), seg_end[:-1]])
     hi = acc[:, jnp.clip(seg_end - 1, 0, mk - 1)]
-    seg_sum = jnp.where((seg_end > seg_start)[None, :], hi, 0.0)
-    tier_a = seg_sum[:, :n]
-    pool_sums = seg_sum[:, n:]               # (num_live, BIG_CAP + MID_CAP)
-    from_pool = jnp.where(binning.point_in_pool[None, :],
-                          pool_sums[:, binning.point_pool_rank], 0.0)
-    per_point = tier_a + from_pool                       # (num_live, N)
+    per_point = jnp.where((seg_end > seg_start)[None, :], hi,
+                          0.0)                           # (num_live, N)
 
     cotangents = tuple(per_point[row_of[r]] for r in (
         BP.GROW_DU, BP.GROW_DV, BP.GROW_DA, BP.GROW_DB, BP.GROW_DC,
@@ -292,7 +270,7 @@ def _blend_core(static_cfg, cols, depth, blend_binning):
 
 
 def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
-    grid, chunk, n, t_b, n_big, n_mid = static_cfg
+    grid, chunk, n, t_b = static_cfg
     binning = _BlendBinning(*blend_binning)
     point_data, tile_out = _blend_fwd_explicit(binning, grid, chunk)
     residuals = (point_data, tile_out, blend_binning)
@@ -300,14 +278,13 @@ def _blend_core_fwd(static_cfg, cols, depth, blend_binning):
 
 
 def _blend_core_bwd(static_cfg, residuals, g_tile_out):
-    grid, chunk, n, t_b, n_big, n_mid = static_cfg
+    grid, chunk, n, t_b = static_cfg
     point_data, tile_out, blend_binning = residuals
     binning = _BlendBinning(*blend_binning)
     # only the rgb rows of the tile output carry gradient
     g_image = _tiles_to_image(g_tile_out[:, 0:3, :], grid)
     cotangents, _ = _blend_bwd_explicit(
-        point_data, tile_out, g_image, binning, grid, n, t_b, n_big, n_mid,
-        chunk)
+        point_data, tile_out, g_image, binning, grid, n, t_b, chunk)
     return (cotangents,
             jnp.zeros_like(cotangents[0]),          # depth: no grad
             jax.tree.map(_float0_zeros, blend_binning))
@@ -338,7 +315,6 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         mid_point_divisor=config.mid_point_divisor,
         max_keys=config.max_keys,
         chunk=config.chunk,
-        for_backward=not config.rgb_only,
         attr_cols=cols + (depth,))
     return attrs, cols, depth, binning
 
@@ -401,13 +377,11 @@ def rasterize(
         q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
         color_sh_mask)
     static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n,
-                  config.max_tiles_per_point,
-                  max(n // config.big_point_divisor, 1),
-                  max(n // config.mid_point_divisor, 1))
+                  config.max_tiles_per_point)
     blend_binning = _BlendBinning(
-        binning.point_data, binning.sorted_pos,
-        binning.tile_starts, binning.tile_ends, binning.segment_lengths,
-        binning.point_pool_rank, binning.point_in_pool)
+        binning.point_data, binning.sorted_point_idx, binning.sorted_valid,
+        binning.tile_starts, binning.tile_ends, binning.point_kept_keys,
+        (binning.big_point_overflow + binning.key_overflow) > 0)
     if config.rgb_only:
         # inference fast path (reference rgb_only template flag,
         # reference: GaussianPointCloudRasterisation.py:342,409,464):
@@ -438,7 +412,7 @@ def rasterize_with_vjp(
     """
     camera_info.validate()
     if config.rgb_only:
-        # gradients need the routing metadata the rgb_only binning skips
+        # the full (non-rgb_only) forward kernel outputs are needed
         config = dataclasses.replace(config, rgb_only=False)
     n = pointcloud.shape[0]
 
@@ -454,9 +428,9 @@ def rasterize_with_vjp(
 
     grid = TileGrid.from_camera(camera_info)
     blend_binning = _BlendBinning(
-        binning.point_data, binning.sorted_pos,
-        binning.tile_starts, binning.tile_ends, binning.segment_lengths,
-        binning.point_pool_rank, binning.point_in_pool)
+        binning.point_data, binning.sorted_point_idx, binning.sorted_valid,
+        binning.tile_starts, binning.tile_ends, binning.point_kept_keys,
+        (binning.big_point_overflow + binning.key_overflow) > 0)
     point_data, tile_out = _blend_fwd_explicit(
         blend_binning, grid, config.chunk)
     result = _result_from_tile_out(tile_out, attrs, binning, camera_info)
@@ -464,9 +438,7 @@ def rasterize_with_vjp(
     def vjp_fn(g_image):
         cotangents, stats = _blend_bwd_explicit(
             point_data, tile_out, g_image, blend_binning, grid, n,
-            config.max_tiles_per_point,
-            max(n // config.big_point_divisor, 1),
-            max(n // config.mid_point_divisor, 1), config.chunk)
+            config.max_tiles_per_point, config.chunk)
         grad_pc, grad_feats = attr_vjp(cotangents)
         return grad_pc, grad_feats, stats
 

@@ -38,16 +38,15 @@ we saturate at the narrower budget and document the coarser tie-break).
 A 64-bit packed single-operand sort was measured and rejected: int64
 compares are emulated on v5e and cost the same as two int32 operands.
 
-The sort payload is the slot's *emission position* - a stable flattened
-index with contiguous per-point ranges (tier A point i owns [2i, 2i+count);
-big entry b owns [2N + T_B*b, ...); mid entry m owns
-[2N + T_B*BIG_CAP + 4m, ...)). After the sort, everything downstream is
-sliced to a `max_keys` budget: valid keys sort before padding, so the slice
-only ever drops real keys when the scene overflows the budget (counted in
-key_overflow, never silent). The backward pass exploits the emission
-ordering: sorting the kept keys by emission position makes every point's
-gradients contiguous, so per-point reduction is one segmented shift-add scan
-- no atomics, no scatter (see ops/rasterizer.py).
+The sort payload is the owning point id. After the sort, everything
+downstream is sliced to a `max_keys` budget: valid keys sort before padding,
+so the slice only ever drops real keys when the scene overflows the budget
+(counted in key_overflow, never silent). The backward pass re-sorts the kept
+keys BY POINT ID, which makes every point's gradients contiguous, so the
+per-point reduction is one segmented shift-add scan whose segment ends are a
+plain cumulative sum of `point_kept_keys` (exact searchsorted fallback when
+any pool or key budget overflowed) - no atomics, no scatter (see
+ops/rasterizer.py).
 
 Overflow is *counted and reported*, never silent: points whose bbox exceeds
 `max_tiles_per_point` tiles lose the excess (tile_cap_overflow); mid/big
@@ -73,15 +72,13 @@ class TileBinning(NamedTuple):
     sorted_key: jnp.ndarray           # (MK,) int32 packed tile|depth
     sorted_tile_id: jnp.ndarray       # (MK,) int32; num_tiles = padding
     sorted_depth_key: jnp.ndarray     # (MK,) int32 quantized depth
-    sorted_pos: jnp.ndarray           # (MK,) int32 emission position
     sorted_point_idx: jnp.ndarray     # (MK,) int32 (clamped to [0, N))
     sorted_valid: jnp.ndarray         # (MK,) bool
     tile_starts: jnp.ndarray          # (num_tiles,) int32
     tile_ends: jnp.ndarray            # (num_tiles,) int32
-    segment_lengths: jnp.ndarray      # (N + BIG_CAP + MID_CAP,) keys/segment
-    point_pool_rank: jnp.ndarray      # (N,) int32 combined pool rank: big
-    #   entries rank [0, BIG_CAP), mid entries [BIG_CAP, BIG_CAP + MID_CAP)
-    point_in_pool: jnp.ndarray        # (N,) bool emitted via a pool tier
+    point_kept_keys: jnp.ndarray      # (N,) int32 keys kept per point,
+    #   exact when big_point_overflow == 0 and key_overflow == 0 (the
+    #   gradient routing falls back to a searchsorted otherwise)
     total_keys: jnp.ndarray           # () int32 valid keys emitted
     key_overflow: jnp.ndarray         # () int32 keys dropped by max_keys
     tile_cap_overflow: jnp.ndarray    # () int32 tiles dropped (cap + pool)
@@ -166,15 +163,10 @@ def bin_points_to_tiles(
     big_point_divisor: int = 16,
     max_keys: int = 2 ** 21,
     chunk: int = 128,
-    for_backward: bool = True,
     attr_cols: Optional[Sequence[jnp.ndarray]] = None,
     mid_point_divisor: int = 4,
 ) -> TileBinning:
-    """for_backward=False (inference) drops everything only the gradient
-    routing needs: the emission-position sort operand and the pool rank
-    tables. The corresponding TileBinning fields come back as zeros.
-
-    attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
+    """attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
     conic_c, logw, r, g, b, depth). When given, the result carries
     `point_data`, the (16, MK) blend slab, assembled with one packed gather
     by sorted point id."""
@@ -286,16 +278,6 @@ def bin_points_to_tiles(
                                          (MID_SLOTS, n_mid_cap)),
                         0, jnp.int32)
     operands = [flat_keys, flat_ids]
-    big_base = TIER_A_SLOTS * n
-    mid_base = big_base + t_b * n_big_cap
-    if for_backward:
-        pos_a = pt_a * TIER_A_SLOTS + slots_a[:, None]
-        pos_b = big_base + big_rank[None, :] * t_b + slots_b[:, None]
-        pos_m = mid_base + mid_rank[None, :] * MID_SLOTS + slots_m[:, None]
-        operands.append(_flatten(jnp.where(valid_a, pos_a, INT32_MAX),
-                                 jnp.where(valid_b, pos_b, INT32_MAX),
-                                 jnp.where(valid_m, pos_m, INT32_MAX),
-                                 INT32_MAX, jnp.int32))
     # UNSTABLE sort: XLA implements a stable TPU sort by adding a hidden
     # iota tiebreaker operand (visible in the optimized HLO comparator),
     # which costs like a full extra payload (~1.7 ms at 2.6M rows). Ties in
@@ -308,8 +290,6 @@ def bin_points_to_tiles(
     mk = min(((max_keys + chunk - 1) // chunk) * chunk, em_cap)
     sorted_key = sorted_all[0][:mk]
     sorted_ids = sorted_all[1][:mk]
-    sorted_pos = (sorted_all[2][:mk] if for_backward
-                  else jnp.zeros((mk,), jnp.int32))
     sorted_valid = sorted_key != INT32_MAX
     sorted_point_idx = jnp.where(sorted_valid, sorted_ids, 0)
     point_data = None
@@ -333,29 +313,10 @@ def bin_points_to_tiles(
         ], axis=0)                                   # (16, N)
         point_data = rows[:, sorted_point_idx]       # (16, MK)
 
-    if for_backward:
-        # point id -> combined pool rank (big ranks first, then mid), for
-        # the backward's segmented reduction: sort (pool id, rank) by id,
-        # then one searchsorted per point. Inactive entries get a sentinel
-        # id so they can never match a real point.
-        pool_rank = jnp.arange(n_big_cap + n_mid_cap, dtype=jnp.int32)
-        pool_active = jnp.concatenate([big_active, mid_active])
-        pool_sorted_ids, pool_sorted_rank = jax.lax.sort(
-            (jnp.where(pool_active, pool_ids, INT32_MAX), pool_rank),
-            num_keys=1, is_stable=False)
-        point_arange = jnp.arange(n, dtype=jnp.int32)
-        found = jnp.searchsorted(pool_sorted_ids, point_arange,
-                                 method="sort").astype(jnp.int32)
-        found = jnp.clip(found, 0, n_big_cap + n_mid_cap - 1)
-        rank_of_point = pool_sorted_rank[found]
-        point_in_pool = pool_sorted_ids[found] == point_arange
-        point_pool_rank = jnp.where(point_in_pool, rank_of_point, 0)
-    else:
-        point_in_pool = jnp.zeros((n,), bool)
-        point_pool_rank = jnp.zeros((n,), jnp.int32)
-    # per-segment emitted key counts in emission order: N tier-A segments
-    # (count_a), BIG_CAP tier-B segments, MID_CAP tier-M segments
-    segment_lengths = jnp.concatenate([count_a, count_b, count_m])
+    # per-point kept-key counts for the gradient routing's segment ends;
+    # exact as long as no pool entry and no key was dropped (the routing
+    # checks the overflow counters and falls back to a searchsorted)
+    point_kept_keys = jnp.minimum(count_full, t_b)
 
     # one unrolled binary search for all tile boundaries: starts[t] and
     # ends[t] = starts[t+1] come from a single (num_tiles+1)-query search.
@@ -377,14 +338,11 @@ def bin_points_to_tiles(
         sorted_key=sorted_key,
         sorted_tile_id=sorted_tile_id,
         sorted_depth_key=sorted_depth_key,
-        sorted_pos=sorted_pos,
         sorted_point_idx=sorted_point_idx,
         sorted_valid=sorted_valid,
         tile_starts=tile_starts,
         tile_ends=tile_ends,
-        segment_lengths=segment_lengths,
-        point_pool_rank=point_pool_rank,
-        point_in_pool=point_in_pool,
+        point_kept_keys=point_kept_keys,
         total_keys=total_emitted,
         key_overflow=key_overflow,
         tile_cap_overflow=jnp.sum(count_full) - total_emitted,

@@ -134,9 +134,9 @@ def test_mid_point_pool_overflow_reported():
     assert int(b.tile_cap_overflow) == 24
 
 
-def test_segment_lengths_match_emitted_keys():
-    # segment_lengths must count exactly the keys each point emitted
-    # (the backward's segmented reduction depends on this)
+def test_point_kept_keys_match_emitted_keys():
+    # point_kept_keys must count exactly the keys each point emitted when
+    # nothing overflowed (the backward's segment-end cumsum depends on this)
     cam = make_camera()
     rng = np.random.default_rng(0)
     n = 40
@@ -150,31 +150,64 @@ def test_segment_lengths_match_emitted_keys():
                                    cam, max_tiles_per_point=t_b,
                                    big_point_divisor=2,
                                    mid_point_divisor=2)
-    big_cap = n // 2
+    assert int(b.big_point_overflow) == 0 and int(b.key_overflow) == 0
     valid = np.asarray(b.sorted_valid)
     pts = np.asarray(b.sorted_point_idx)[valid]
-    seg = np.asarray(b.segment_lengths)
-    rank = np.asarray(b.point_pool_rank)
-    in_pool = np.asarray(b.point_in_pool)
     per_point = np.zeros(n, np.int64)
     uniq, counts = np.unique(pts, return_counts=True)
     per_point[uniq] = counts
-    for i in range(n):
-        expected = seg[n + rank[i]] if in_pool[i] else seg[i]
-        assert per_point[i] == expected, (i, per_point[i], expected)
-    # positions of valid keys fall inside their segment's emission range
-    # (tier A: 2 slots at 2i; big pool: t_b slots from 2n; mid pool: 4
-    # slots after the big pool)
-    a_slots = tiling.TIER_A_SLOTS
-    mid_base = a_slots * n + big_cap * t_b
-    pos = np.asarray(b.sorted_pos)[valid]
-    for p_, i in zip(pos, pts):
-        if in_pool[i]:
-            if rank[i] < big_cap:
-                start = a_slots * n + rank[i] * t_b
-                assert start <= p_ < start + t_b
-            else:
-                start = mid_base + (rank[i] - big_cap) * tiling.MID_SLOTS
-                assert start <= p_ < start + tiling.MID_SLOTS
-        else:
-            assert a_slots * i <= p_ < a_slots * i + a_slots
+    np.testing.assert_array_equal(per_point, np.asarray(b.point_kept_keys))
+    assert int(b.total_keys) == per_point.sum()
+
+
+def test_depth_key_precision_matches_reference_ordering():
+    # The packed int32 key leaves 19 depth bits at the benchmark resolution
+    # (976x544 -> 2074 tiles -> 12 tile bits), vs the reference's full 32
+    # bits (reference: GaussianPointCloudRasterisation.py:158-160). Both
+    # quantize to int32(depth * depth_to_sort_key_scale); the 19-bit budget
+    # only saturates beyond 2^19/scale = 5242 units, far past any realistic
+    # far plane. Within the far plane the two orderings must be IDENTICAL
+    # (not just equivalent): same quantized values, same ties.
+    K = np.array([[581.7, 0, 488.0], [0, 581.7, 272.0], [0, 0, 1]],
+                 np.float32)
+    cam = CameraInfo(camera_intrinsics=K, camera_height=544,
+                     camera_width=976)
+    num_tiles = cam.num_tiles
+    depth_bits = 31 - int(np.ceil(np.log2(num_tiles + 1)))
+    assert depth_bits == 19
+    rng = np.random.default_rng(7)
+    n = 4096
+    # adversarial depths: interleaved near-ties at many scales up to the
+    # reference benchmark far plane (1000)
+    base = rng.uniform(0.4, 1000.0, n // 2)
+    depth = np.concatenate([base, base + rng.uniform(0, 0.02, n // 2)])
+    depth = depth.astype(np.float32)
+    scale = 100.0
+    ref_key = (depth * scale).astype(np.int32)          # reference, 32-bit
+    ours = np.clip(ref_key, 0, (1 << depth_bits) - 1)   # ours, 19-bit
+    np.testing.assert_array_equal(ours, ref_key)
+
+    # all points into ONE tile: the full binning must order them exactly as
+    # the reference's 32-bit key would
+    u = jnp.full((n,), 8.0)
+    v = jnp.full((n,), 8.0)
+    radii = jnp.ones((n,))
+    b = tiling.bin_points_to_tiles(
+        u, v, jnp.asarray(depth), radii, jnp.ones((n,), bool), cam,
+        depth_to_sort_key_scale=scale, max_tiles_per_point=8,
+        mid_point_divisor=1, big_point_divisor=1)
+    valid = np.asarray(b.sorted_valid)
+    got = np.asarray(b.sorted_depth_key)[valid]
+    np.testing.assert_array_equal(got, np.sort(ref_key))
+
+    # beyond the 19-bit budget the key saturates (documented coarser
+    # tie-break) instead of wrapping into a wrong tile
+    far = jnp.array([6000.0, 7000.0], jnp.float32)
+    b2 = tiling.bin_points_to_tiles(
+        jnp.full((2,), 8.0), jnp.full((2,), 8.0), far, jnp.ones((2,)),
+        jnp.ones((2,), bool), cam, depth_to_sort_key_scale=scale,
+        max_tiles_per_point=8)
+    valid2 = np.asarray(b2.sorted_valid)
+    assert (np.asarray(b2.sorted_depth_key)[valid2]
+            == (1 << depth_bits) - 1).all()
+    assert (np.asarray(b2.sorted_tile_id)[valid2] == 0).all()
