@@ -13,6 +13,15 @@ therefore a capability *beyond* reference parity, built the TPU way:
 - parameters update identically on every chip (replicated optimizer step),
   so no weight gather is ever needed.
 
+The step has FULL parity with the single-chip trainer step
+(training/trainer.py): quaternion re-normalization, SH-band curriculum
+gradient masking, per-group gradient scaling, the regularizer's direct
+feature gradients, controller statistics accumulation, densification
+inputs (per-point stats / frustum / depth of the batch's LAST view,
+matching the reference's "trigger frame" semantics), and the capacity
+overflow counters. `GaussianPointCloudTrainer` uses it whenever
+`batch_size > 1` (see training/trainer.py).
+
 Gradient convention for batch > 1: gradients are *summed* over views, which
 matches running the reference's accumulation for several frames before one
 optimizer step; divide learning rates accordingly if per-view semantics are
@@ -21,6 +30,7 @@ wanted.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable
 
@@ -37,8 +47,10 @@ except ImportError:  # older jax
 from ..camera import CameraInfo
 from ..models.scene import GaussianPointCloudScene
 from ..ops.rasterizer import RasterizerConfig, rasterize_with_vjp
+from ..ops.sh import feature_sh_band_mask
 from ..training.controller import ControllerState, update_stats
 from ..training.loss import LossFunction
+from ..training.ssim import psnr as psnr_fn
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
@@ -67,59 +79,77 @@ def make_data_parallel_train_step(
 
     The returned function has signature
       step(scene, opt_feat, opt_pos, ctrl_state,
-           images (B,H,W,3), qs (B,1,4), ts (B,1,3), intrinsics (B,3,3))
-        -> (scene, opt_feat, opt_pos, ctrl_state, metrics)
+           images (B,H,W,3), qs (B,1,4), ts (B,1,3), intrinsics (B,3,3),
+           sh_band ())
+        -> (scene, opt_feat, opt_pos, ctrl_state, metrics, densify_inputs)
     with B divisible by the mesh size. All views share the (static) image
-    shape; intrinsics may differ per view.
+    shape; intrinsics may differ per view. `densify_inputs` is the
+    (stats, in_frustum, point_depth) triple of the LAST view in the batch,
+    directly consumable by `training.controller.densify_step`.
     """
+    from ..training.trainer import _grad_group_scale
+    grad_scale = jnp.asarray(_grad_group_scale(raster_config))
+    axis_size = mesh.shape[axis_name]
 
     def device_step(scene, opt_feat, opt_pos, ctrl_state, images, qs, ts,
-                    intrinsics):
+                    intrinsics, sh_band):
         # local shard: (B_local, H, W, 3)
         feats = scene.point_cloud_features
         qn = feats[:, 0:4] / jnp.linalg.norm(feats[:, 0:4], axis=1,
                                              keepdims=True)
         feats = feats.at[:, 0:4].set(qn)
         scene = scene._replace(point_cloud_features=feats)
+        band_mask = feature_sh_band_mask(sh_band)
 
         def view_grads(carry, view):
             image_gt, q, t, intr = view
-            import dataclasses
             cam = dataclasses.replace(camera_info, camera_intrinsics=intr)
             result, vjp_fn = rasterize_with_vjp(
                 scene.point_cloud, feats, scene.point_invalid_mask,
                 scene.point_object_id, q, t, cam, raster_config)
 
-            def image_loss(image):
+            def image_loss(image, features):
                 img = jnp.clip(image, 0.0, 1.0)
                 loss, l1, ld_ssim = loss_fn(
                     img, image_gt,
                     point_invalid_mask=scene.point_invalid_mask,
-                    pointcloud_features=feats)
-                return loss, (l1, ld_ssim)
+                    pointcloud_features=features)
+                return loss, (l1, ld_ssim, img)
 
-            (loss, (l1, ld_ssim)), g_image = jax.value_and_grad(
-                image_loss, has_aux=True)(result.image)
-            grad_pc, grad_feats, stats = vjp_fn(g_image)
+            (loss, (l1, ld_ssim, img)), loss_grads = jax.value_and_grad(
+                image_loss, argnums=(0, 1), has_aux=True)(result.image, feats)
+            g_image, g_feats_direct = loss_grads
+            grad_pc, grad_feats_raster, stats = vjp_fn(g_image)
+            # band curriculum masking + per-group scaling on the rasterizer
+            # path only (reference: :1102-1125), exactly as single-chip
+            grad_feats = grad_feats_raster * band_mask + g_feats_direct
+            if apply_grad_scaling:
+                grad_feats = (grad_feats_raster * grad_scale * band_mask
+                              + g_feats_direct)
             acc_pc, acc_feats, ctrl = carry
             ctrl = update_stats(ctrl, stats, grad_pc, result.aux.in_frustum)
-            return ((acc_pc + grad_pc, acc_feats + grad_feats, ctrl),
-                    (loss, l1, ld_ssim))
+            view_out = (loss, l1, ld_ssim, psnr_fn(img, image_gt),
+                        result.aux.key_overflow,
+                        result.aux.big_point_overflow,
+                        result.aux.tile_cap_overflow,
+                        result.aux.total_keys,
+                        stats.grad_viewspace,
+                        stats.magnitude_grad_viewspace,
+                        stats.num_affected_pixels,
+                        result.aux.in_frustum,
+                        result.aux.point_depth)
+            return (acc_pc + grad_pc, acc_feats + grad_feats, ctrl), view_out
 
         init = (jnp.zeros_like(scene.point_cloud), jnp.zeros_like(feats),
                 ctrl_state)
-        (grad_pc, grad_feats, ctrl_local), (losses, l1s, ssims) = \
-            jax.lax.scan(view_grads, init, (images, qs, ts, intrinsics))
+        (grad_pc, grad_feats, ctrl_local), ys = jax.lax.scan(
+            view_grads, init, (images, qs, ts, intrinsics))
+        (losses, l1s, ssims, psnrs, key_ovf, big_ovf, cap_ovf, tot_keys,
+         gv, mag, npix, in_fr, pdepth) = ys
 
         # combine across chips: the collectives ride ICI
         grad_pc = jax.lax.psum(grad_pc, axis_name)
         grad_feats = jax.lax.psum(grad_feats, axis_name)
-        if apply_grad_scaling:
-            # per-group gradient scaling, same semantics as the single-chip
-            # trainer (reference: GaussianPointCloudRasterisation.py:1105-1125)
-            from ..training.trainer import _grad_group_scale
-            grad_feats = grad_feats * jnp.asarray(
-                _grad_group_scale(raster_config))
         # controller accumulators: sum each chip's local additions
         ctrl_state = jax.tree.map(
             lambda old, new: old + jax.lax.psum(new - old, axis_name),
@@ -127,6 +157,31 @@ def make_data_parallel_train_step(
         loss_mean = jax.lax.pmean(jnp.mean(losses), axis_name)
         l1_mean = jax.lax.pmean(jnp.mean(l1s), axis_name)
         ssim_mean = jax.lax.pmean(jnp.mean(ssims), axis_name)
+        psnr_mean = jax.lax.pmean(jnp.mean(psnrs), axis_name)
+
+        # densification inputs of the batch's LAST view (the reference's
+        # trigger-frame semantics): it lives on the last chip; a masked psum
+        # replicates it
+        is_last = (jax.lax.axis_index(axis_name) == axis_size - 1
+                   ).astype(jnp.float32)
+
+        def from_last_f(x):  # float or int/bool via float carry
+            xl = x[-1]
+            if jnp.issubdtype(xl.dtype, jnp.floating):
+                return jax.lax.psum(xl * is_last.astype(xl.dtype), axis_name)
+            out = jax.lax.psum(
+                xl.astype(jnp.float32) * is_last, axis_name)
+            return out.astype(xl.dtype)
+
+        from ..ops.rasterizer import BackwardStats
+        last_stats = BackwardStats(
+            grad_viewspace=from_last_f(gv),
+            magnitude_grad_viewspace=from_last_f(mag),
+            num_affected_pixels=from_last_f(npix),
+            magnitude_grad_viewspace_on_image=jnp.zeros((1, 1, 2)),
+        )
+        last_in_frustum = from_last_f(in_fr.astype(jnp.int8)) > 0
+        last_depth = from_last_f(pdepth)
 
         updates_f, opt_feat = feature_optimizer.update(grad_feats, opt_feat,
                                                        feats)
@@ -136,16 +191,25 @@ def make_data_parallel_train_step(
         new_pc = jax.tree.map(jnp.add, scene.point_cloud, updates_p)
         scene = scene._replace(point_cloud=new_pc,
                                point_cloud_features=new_feats)
-        metrics = {"loss": loss_mean, "l1": l1_mean, "ssim_loss": ssim_mean}
-        return scene, opt_feat, opt_pos, ctrl_state, metrics
+        metrics = {
+            "loss": loss_mean, "l1": l1_mean, "ssim_loss": ssim_mean,
+            "psnr": psnr_mean, "ssim": 1.0 - ssim_mean,
+            "key_overflow": jax.lax.psum(jnp.sum(key_ovf), axis_name),
+            "big_point_overflow": jax.lax.psum(jnp.sum(big_ovf), axis_name),
+            "tile_cap_overflow": jax.lax.psum(jnp.sum(cap_ovf), axis_name),
+            "total_keys": jax.lax.psum(jnp.sum(tot_keys), axis_name),
+        }
+        densify_inputs = (last_stats, last_in_frustum, last_depth)
+        return (scene, opt_feat, opt_pos, ctrl_state, metrics,
+                densify_inputs)
 
     replicated = P()
     batched = P("data")
     sharded = shard_map(
         device_step, mesh=mesh,
         in_specs=(replicated, replicated, replicated, replicated,
-                  batched, batched, batched, batched),
+                  batched, batched, batched, batched, replicated),
         out_specs=(replicated, replicated, replicated, replicated,
-                   replicated),
+                   replicated, replicated),
         check_vma=False)
     return jax.jit(sharded)

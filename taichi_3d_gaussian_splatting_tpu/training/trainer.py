@@ -98,6 +98,17 @@ class TrainConfig:
     enable_profiler: bool = False
     profiler_start_iteration: int = 100
     profiler_num_steps: int = 5
+    # continuous capacity-overflow guard (the reference has no equivalent;
+    # its dynamic allocation cannot overflow - our static budgets can, so
+    # they are watched at a cadence, reference design note: SURVEY.md sec. 7)
+    overflow_check_interval: int = 10
+    fail_on_capacity_overflow: bool = False
+    # multi-chip data parallelism (beyond reference parity): views per
+    # optimizer step, sharded over a 1-D device mesh. batch_size must be a
+    # multiple of the mesh size; 1 keeps the reference's single-view step.
+    # mesh_devices=0 uses every visible device (see parallel/sharding.py)
+    batch_size: int = 1
+    mesh_devices: int = 0
     rasterisation_config: RasterizerConfig = dataclasses.field(
         default_factory=RasterizerConfig)
     adaptive_controller_config: AdaptiveControllerConfig = dataclasses.field(
@@ -204,6 +215,7 @@ class GaussianPointCloudTrainer:
         self.ctrl_state = ControllerState.zeros(n)
         self.loss_fn = LossFunction(config.loss_function_config)
         self.best_psnr_score = 0.0
+        self._overflow_strikes = 0
         self.key = jax.random.PRNGKey(config.seed)
 
         feat_lr = config.feature_learning_rate
@@ -229,6 +241,7 @@ class GaussianPointCloudTrainer:
             _grad_group_scale(config.rasterisation_config))
         self._densify_fn = None
         self._reset_alpha_fn = None
+        self._mesh = None
         self.start_iteration = 0
         if config.resume_from_checkpoint:
             state_template = (self.scene, self.opt_state_features,
@@ -243,6 +256,23 @@ class GaussianPointCloudTrainer:
     # ------------------------------------------------------------------
     # jitted step construction (one executable per image shape)
     # ------------------------------------------------------------------
+
+    def _get_batch_step_fn(self, camera_info: CameraInfo):
+        """Multi-view data-parallel step (batch_size > 1): the full Pallas
+        pipeline per view on each chip, gradients psum'd over ICI
+        (parallel/sharding.py). One executable per image shape."""
+        key = (camera_info.camera_height, camera_info.camera_width, "dp")
+        if key in self._step_fns:
+            return self._step_fns[key]
+        from ..parallel.sharding import (make_data_parallel_train_step,
+                                         make_mesh)
+        if self._mesh is None:
+            self._mesh = make_mesh(self.config.mesh_devices or None)
+        step = make_data_parallel_train_step(
+            self._mesh, camera_info, self.config.rasterisation_config,
+            self.loss_fn, self.feature_optimizer, self.position_optimizer)
+        self._step_fns[key] = step
+        return step
 
     def _get_step_fn(self, camera_info: CameraInfo):
         key = (camera_info.camera_height, camera_info.camera_width)
@@ -309,6 +339,7 @@ class GaussianPointCloudTrainer:
                 "psnr": psnr_fn(img, image_gt),
                 "ssim": 1.0 - ld_ssim,
                 "big_point_overflow": result.aux.big_point_overflow,
+                "key_overflow": result.aux.key_overflow,
                 "tile_cap_overflow": result.aux.tile_cap_overflow,
                 "total_keys": result.aux.total_keys,
             }
@@ -377,22 +408,51 @@ class GaussianPointCloudTrainer:
             if (iteration % config.half_downsample_factor_interval == 0
                     and iteration > 0 and downsample_factor > 1):
                 downsample_factor = downsample_factor // 2
-            item = next(data_iter)
-            item = _downsample_item(item, downsample_factor)
-            cam = item.camera_info
-            step = self._get_step_fn(cam)
-
             sh_band = iteration // config.increase_color_max_sh_band_interval
             pos_before = self.scene.point_cloud  # pre-optimizer positions
-            (self.scene, self.opt_state_features, self.opt_state_positions,
-             self.ctrl_state, metrics, densify_inputs, valid_count_map,
-             depth_map, pred_image) = step(
-                self.scene, self.opt_state_features, self.opt_state_positions,
-                self.ctrl_state, jnp.asarray(item.image),
-                jnp.asarray(item.q_pointcloud_camera),
-                jnp.asarray(item.t_pointcloud_camera),
-                jnp.int32(sh_band),
-                jnp.asarray(cam.camera_intrinsics, jnp.float32))
+            if config.batch_size > 1:
+                items = [_downsample_item(next(data_iter), downsample_factor)
+                         for _ in range(config.batch_size)]
+                item = items[-1]
+                cam = item.camera_info
+                for other in items[:-1]:
+                    if (other.camera_info.camera_height != cam.camera_height
+                            or other.camera_info.camera_width
+                            != cam.camera_width):
+                        raise ValueError(
+                            "batch_size > 1 requires a uniform image shape "
+                            "across the dataset (one executable per shape)")
+                step = self._get_batch_step_fn(cam)
+                (self.scene, self.opt_state_features,
+                 self.opt_state_positions, self.ctrl_state, metrics,
+                 densify_inputs) = step(
+                    self.scene, self.opt_state_features,
+                    self.opt_state_positions, self.ctrl_state,
+                    jnp.stack([jnp.asarray(i.image) for i in items]),
+                    jnp.stack([jnp.asarray(i.q_pointcloud_camera)
+                               for i in items]),
+                    jnp.stack([jnp.asarray(i.t_pointcloud_camera)
+                               for i in items]),
+                    jnp.stack([jnp.asarray(i.camera_info.camera_intrinsics,
+                                           jnp.float32) for i in items]),
+                    jnp.int32(sh_band))
+                valid_count_map = depth_map = pred_image = None
+            else:
+                item = next(data_iter)
+                item = _downsample_item(item, downsample_factor)
+                cam = item.camera_info
+                step = self._get_step_fn(cam)
+                (self.scene, self.opt_state_features,
+                 self.opt_state_positions, self.ctrl_state, metrics,
+                 densify_inputs, valid_count_map, depth_map,
+                 pred_image) = step(
+                    self.scene, self.opt_state_features,
+                    self.opt_state_positions, self.ctrl_state,
+                    jnp.asarray(item.image),
+                    jnp.asarray(item.q_pointcloud_camera),
+                    jnp.asarray(item.t_pointcloud_camera),
+                    jnp.int32(sh_band),
+                    jnp.asarray(cam.camera_intrinsics, jnp.float32))
 
             # ---- adaptive controller cadence (reference: :142-167) ----
             densified = False
@@ -430,16 +490,8 @@ class GaussianPointCloudTrainer:
                     is_problematic = True
                     previous_problematic_iteration = iteration
 
-            if iteration == 50:
-                ovf = float(metrics["big_point_overflow"])
-                tovf = float(metrics["tile_cap_overflow"])
-                keys = max(float(metrics["total_keys"]), 1.0)
-                if ovf > 0 or tovf > 0.05 * keys:
-                    print(f"WARNING: tile-binning capacity overflow "
-                          f"(big_point_overflow={ovf:.0f}, "
-                          f"tile_cap_overflow={tovf:.0f}, keys={keys:.0f}); "
-                          f"consider lowering rasterisation-config."
-                          f"big_point_divisor or raising max_tiles_per_point")
+            if iteration % config.overflow_check_interval == 0:
+                self._check_capacity_overflow(iteration, metrics)
             now = time.perf_counter()
             if not hasattr(self, "_last_iter_time"):
                 self._last_iter_time = now
@@ -468,7 +520,8 @@ class GaussianPointCloudTrainer:
                     print(f"train_psnr_{iteration}={float(metrics['psnr'])};")
                     print(f"train_ssim={float(metrics['ssim'])};")
                     print(f"train_ssim_{iteration}={float(metrics['ssim'])};")
-            if iteration % config.log_image_interval == 0 or is_problematic:
+            if ((iteration % config.log_image_interval == 0 or is_problematic)
+                    and pred_image is not None):
                 # [pred | gt | depth cmap | points-per-pixel] panel
                 # (reference: GaussianPointTrainer.py:240-263)
                 from ..utils.visualization import (easy_cmap, make_image_grid,
@@ -489,6 +542,40 @@ class GaussianPointCloudTrainer:
 
         self.validation(config.num_iterations,
                         completed=config.num_iterations)
+
+    def _check_capacity_overflow(self, iteration: int, metrics: dict):
+        """Continuous capacity-overflow guard.
+
+        The fixed tier budgets (ops/tiling.py) drop work by design when a
+        scene outgrows them - counted, never silent. Densification can push
+        a scene past the budgets mid-training, so this check runs at a
+        cadence (not once): every occurrence warns with the exact counters,
+        and `fail_on_capacity_overflow` escalates to a hard error after
+        three consecutive bad checks instead of silently degrading for the
+        remaining iterations.
+        """
+        ovf = float(metrics["big_point_overflow"])
+        kovf = float(metrics.get("key_overflow", 0.0))
+        tovf = float(metrics["tile_cap_overflow"])
+        keys = max(float(metrics["total_keys"]), 1.0)
+        bad = ovf > 0 or kovf > 0 or tovf > 0.05 * keys
+        if bad:
+            self._overflow_strikes += 1
+            msg = (f"tile-binning capacity overflow at iteration {iteration} "
+                   f"(big_point_overflow={ovf:.0f}, key_overflow={kovf:.0f}, "
+                   f"tile_cap_overflow={tovf:.0f}, keys={keys:.0f}); "
+                   f"lower rasterisation_config.big_point_divisor / "
+                   f"mid_point_divisor or raise max_keys/max_tiles_per_point")
+            print(f"WARNING: {msg}")
+            self.logger.scalars(iteration, {
+                "train/overflow_strikes": self._overflow_strikes})
+            if (self.config.fail_on_capacity_overflow
+                    and self._overflow_strikes >= 3):
+                raise RuntimeError(
+                    f"capacity overflow persisted for "
+                    f"{self._overflow_strikes} consecutive checks: {msg}")
+        else:
+            self._overflow_strikes = 0
 
     def _log_histograms(self, iteration: int, stats):
         """Gradient-group and value-group histograms at densify cadence

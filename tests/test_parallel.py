@@ -61,9 +61,15 @@ def test_data_parallel_step_runs_and_matches_seq_grads():
     opt_pos = pos_opt.init(scene.point_cloud)
     ctrl = ControllerState.zeros(n)
     scene_r = replicate_scene(scene, mesh)
-    scene2, _, _, ctrl2, metrics = step(scene_r, opt_feat, opt_pos, ctrl,
-                                        images, qs, ts, intrs)
+    # sh_band=3 -> the curriculum mask is all-ones, matching the raw
+    # sequential gradients below
+    (scene2, _, _, ctrl2, metrics,
+     densify_inputs) = step(scene_r, opt_feat, opt_pos, ctrl,
+                            images, qs, ts, intrs, jnp.int32(3))
     assert np.isfinite(float(metrics["loss"]))
+    last_stats, last_in_frustum, last_depth = densify_inputs
+    assert last_in_frustum.shape == (n,)
+    assert last_depth.shape == (n,)
 
     # sequential reference: same views through the single-device vjp,
     # gradients summed

@@ -45,7 +45,7 @@ def _orbit_pose(angle, radius=2.5):
     return T
 
 
-def _make_dataset(tmp_path, n_views=12, n_points=200, seed=0):
+def _make_dataset(tmp_path, n_views=32, n_points=200, seed=0):
     rng = np.random.default_rng(seed)
     pc = rng.uniform(-0.6, 0.6, (n_points, 3)).astype(np.float32)
     feats = np.zeros((n_points, 56), np.float32)
@@ -53,9 +53,13 @@ def _make_dataset(tmp_path, n_views=12, n_points=200, seed=0):
     feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
     feats[:, 4:7] = rng.uniform(-3.2, -2.2, (n_points, 3))
     feats[:, 7] = rng.uniform(1.0, 4.0, n_points)
+    # DC plus genuine band-1 view dependence: the SH curriculum must HELP
+    # held-out views, not act as pure per-view overfitting capacity
     feats[:, 8] = rng.normal(size=n_points) * 1.5
     feats[:, 24] = rng.normal(size=n_points) * 1.5
     feats[:, 40] = rng.normal(size=n_points) * 1.5
+    for ch in (9, 25, 41):
+        feats[:, ch:ch + 3] = rng.normal(size=(n_points, 3)) * 0.4
 
     intr = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], np.float32)
     cam = CameraInfo(camera_intrinsics=intr, camera_height=H, camera_width=W)
@@ -85,10 +89,15 @@ def _make_dataset(tmp_path, n_views=12, n_points=200, seed=0):
             "camera_intrinsics": intr.tolist(),
             "camera_height": H, "camera_width": W, "camera_id": 0,
         })
+    # held-out split: every 8th view is validation-ONLY (excluded from
+    # training, unlike the reference CI which validates on every 8th view
+    # that it also never trains on, reference: tools/prepare_colmap.py:304)
+    val_records = records[::8]
+    train_records = [r for i, r in enumerate(records) if i % 8 != 0]
     with open(tmp_path / "train.json", "w") as f:
-        json.dump(records, f)
+        json.dump(train_records, f)
     with open(tmp_path / "val.json", "w") as f:
-        json.dump(records[::6], f)
+        json.dump(val_records, f)
 
     # subsampled + noisy init: the controller must densify to recover
     import pandas as pd
@@ -106,8 +115,8 @@ def test_full_training_reaches_psnr_bar(tmp_path):
         train_dataset_json_path=str(tmp_path / "train.json"),
         val_dataset_json_path=str(tmp_path / "val.json"),
         pointcloud_parquet_path=str(tmp_path / "point_cloud.parquet"),
-        num_iterations=301,
-        val_interval=150,
+        num_iterations=601,
+        val_interval=300,
         feature_learning_rate=0.02,
         position_learning_rate=2e-4,
         position_learning_rate_decay_rate=0.995,
@@ -125,8 +134,12 @@ def test_full_training_reaches_psnr_bar(tmp_path):
             num_iterations_warm_up=40,
             num_iterations_densify=40,
             num_iterations_reset_alpha=10 ** 6,
-            densification_view_space_position_gradients_threshold=3e-6,
-            under_reconstructed_num_pixels_threshold=64,
+            densification_view_space_position_gradients_threshold=1e-5,
+            # threshold compares MULTI-FRAME accumulated pixel counts (40
+            # frames per densify round here): too low marks every candidate
+            # over-reconstructed and split-shrinks it each round, collapsing
+            # scales to sub-pixel needles (measured: val PSNR 22 -> 15)
+            under_reconstructed_num_pixels_threshold=2000,
             transparent_alpha_threshold=-3.0,
             iteration_start_remove_floater=10 ** 9),
         gaussian_point_cloud_scene_config=SceneConfig(
@@ -145,7 +158,7 @@ def test_full_training_reaches_psnr_bar(tmp_path):
             metrics.update(rec)
     # densification actually ran and added points
     assert metrics.get("value/num_valid_points", 0) > 100
-    # quality bar: with 300 iterations on a 64x64 synthetic scene the fit
-    # should be clearly better than the featureless init
+    # quality bar: held-out views (never trained on) must clearly beat the
+    # featureless init
     assert metrics["val/psnr"] > 18.0, metrics["val/psnr"]
     assert metrics["train/psnr"] > 18.0, metrics["train/psnr"]

@@ -88,6 +88,45 @@ def _make_synthetic_dataset(tmp_path, n_views=3, n_points=30, seed=0):
 
 
 @pytest.mark.slow
+def test_capacity_overflow_fails_loudly(tmp_path):
+    """Splats outgrowing the pool budgets mid-training must not degrade
+    silently: the continuous guard warns each check and (opted in here)
+    raises after three consecutive bad checks."""
+    train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
+    config = TrainConfig(
+        train_dataset_json_path=train_json,
+        val_dataset_json_path=val_json,
+        pointcloud_parquet_path=parquet,
+        num_iterations=21,
+        val_interval=10 ** 6,
+        initial_downsample_factor=1,
+        log_loss_interval=10 ** 6,
+        log_image_interval=10 ** 9,
+        save_full_checkpoint=False,
+        overflow_check_interval=1,
+        fail_on_capacity_overflow=True,
+        summary_writer_log_dir=str(tmp_path / "logs"),
+        rasterisation_config=RasterizerConfig(
+            near_plane=0.1, far_plane=100.0, max_tiles_per_point=8,
+            # pool of ONE entry for both tiers: the many multi-tile splats
+            # cannot all fit -> big_point_overflow > 0 every step
+            big_point_divisor=10 ** 6, mid_point_divisor=10 ** 6),
+        adaptive_controller_config=AdaptiveControllerConfig(
+            num_iterations_warm_up=10 ** 6,
+            num_iterations_reset_alpha=10 ** 6),
+        gaussian_point_cloud_scene_config=SceneConfig(
+            max_num_points_ratio=1.5, initial_alpha=1.0,
+            # huge isotropic init covariance -> every splat spans many tiles
+            initial_covariance_ratio=50.0, max_initial_covariance=100.0),
+        loss_function_config=LossFunctionConfig(enable_regularization=False),
+    )
+    trainer = GaussianPointCloudTrainer(config)
+    with pytest.raises(RuntimeError, match="capacity overflow"):
+        trainer.train()
+    assert trainer._overflow_strikes >= 3
+
+
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path):
     train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
     config = TrainConfig(
@@ -137,3 +176,56 @@ def test_trainer_end_to_end(tmp_path):
     scene = GaussianPointCloudScene.from_parquet(
         os.path.join(config.output_model_dir, "best_scene.parquet"))
     assert scene.capacity > 0
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end_multichip(tmp_path):
+    """Full trainer loop with batch_size=4 sharded over a 4-device mesh of
+    the virtual CPU mesh (conftest): the data-parallel step (psum'd
+    gradients + controller stats, parallel/sharding.py) must reach the same
+    convergence bar as the single-chip e2e."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
+    config = TrainConfig(
+        train_dataset_json_path=train_json,
+        val_dataset_json_path=val_json,
+        pointcloud_parquet_path=parquet,
+        num_iterations=31,
+        val_interval=30,
+        batch_size=4,
+        mesh_devices=4,
+        feature_learning_rate=2e-3,   # 4 views/step, summed grads
+        position_learning_rate=4e-5,
+        initial_downsample_factor=1,
+        log_loss_interval=5,
+        log_metrics_interval=20,
+        log_image_interval=10 ** 9,
+        summary_writer_log_dir=str(tmp_path / "logs"),
+        rasterisation_config=RasterizerConfig(
+            near_plane=0.1, far_plane=100.0, max_tiles_per_point=16),
+        adaptive_controller_config=AdaptiveControllerConfig(
+            num_iterations_warm_up=10, num_iterations_densify=20,
+            num_iterations_reset_alpha=10 ** 6,
+            densification_view_space_position_gradients_threshold=1e9),
+        gaussian_point_cloud_scene_config=SceneConfig(
+            max_num_points_ratio=2.0, initial_alpha=1.0),
+        loss_function_config=LossFunctionConfig(
+            enable_regularization=False),
+    )
+    trainer = GaussianPointCloudTrainer(config)
+    trainer.train()
+
+    metrics_path = os.path.join(config.summary_writer_log_dir,
+                                "metrics.jsonl")
+    losses = []
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train/loss" in rec:
+                losses.append((rec["iteration"], rec["train/loss"]))
+    assert len(losses) >= 4
+    assert losses[-1][1] < losses[0][1], losses
+    assert os.path.exists(os.path.join(config.output_model_dir,
+                                       "best_scene.parquet"))
