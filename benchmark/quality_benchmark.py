@@ -102,17 +102,22 @@ def main():
     records = []
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
+    import jax
+
+    @jax.jit
+    def render_gt(q, t):
+        return rasterize(
+            jnp.array(pc), jnp.array(feats),
+            jnp.zeros((n_points,), jnp.int8),
+            jnp.zeros((n_points,), jnp.int32), q, t, cam, cfg).image
+
     for vi in range(n_views):
         # two interleaved elevation rings for better coverage
         elev = 0.25 if vi % 2 == 0 else -0.15
         T_pc_cam = orbit_pose(2 * np.pi * vi / n_views, elev)
         qpc, tpc = SE3_to_quaternion_and_translation(
             jnp.asarray(T_pc_cam)[None])
-        result = rasterize(
-            jnp.array(pc), jnp.array(feats),
-            jnp.zeros((n_points,), jnp.int8),
-            jnp.zeros((n_points,), jnp.int32), qpc, tpc, cam, cfg)
-        img = np.clip(np.asarray(result.image), 0, 1)
+        img = np.clip(np.asarray(render_gt(qpc, tpc)), 0, 1)
         path = os.path.join(img_dir, f"v{vi}.png")
         PIL.Image.fromarray((img * 255).astype(np.uint8)).save(path)
         records.append({

@@ -91,6 +91,12 @@ def compute_point_attributes(
     near_plane: float,
     far_plane: float,
     color_sh_mask=None,               # optional (16,) band curriculum mask
+    object_edit=None,                 # optional (q (K,4), s (K,3), t (K,3))
+    #   per-object scene-editing transform: each point becomes
+    #   R_e @ (p * s_e + t_e) and its covariance R_e S_e Sigma S_e R_e^T,
+    #   matching the reference's editing variants
+    #   (reference: GaussianPoint3D.py:118-130,193-235; dead code there,
+    #   live and tested here). None costs nothing in the training hot path.
 ) -> PointAttributes:
     intrinsics = jnp.asarray(camera_info.camera_intrinsics, jnp.float32)
     fx = intrinsics[0, 0]
@@ -134,6 +140,39 @@ def compute_point_attributes(
     feats_t = pointcloud_features.T      # (56, N)
     px, py, pz = pc_t[0], pc_t[1], pc_t[2]
 
+    if object_edit is not None:
+        # scene editing: p' = R_e (p * s_e + t_e)
+        # (reference: GaussianPoint3D.py:119-130)
+        q_e, s_e, t_e = object_edit
+        R_e = rotation_matrix_from_quaternion(
+            quaternion_normalize(jnp.asarray(q_e)))      # (K, 3, 3)
+        s_e = jnp.asarray(s_e, jnp.float32)
+        t_e = jnp.asarray(t_e, jnp.float32)
+        if num_objects == 1:
+            (e00, e01, e02, e10, e11, e12, e20, e21, e22) = (
+                R_e[0, 0, 0], R_e[0, 0, 1], R_e[0, 0, 2],
+                R_e[0, 1, 0], R_e[0, 1, 1], R_e[0, 1, 2],
+                R_e[0, 2, 0], R_e[0, 2, 1], R_e[0, 2, 2])
+            sex, sey, sez = s_e[0, 0], s_e[0, 1], s_e[0, 2]
+            tex, tey, tez = t_e[0, 0], t_e[0, 1], t_e[0, 2]
+        else:
+            edit_tbl = jnp.stack([
+                R_e[:, 0, 0], R_e[:, 0, 1], R_e[:, 0, 2],
+                R_e[:, 1, 0], R_e[:, 1, 1], R_e[:, 1, 2],
+                R_e[:, 2, 0], R_e[:, 2, 1], R_e[:, 2, 2],
+                s_e[:, 0], s_e[:, 1], s_e[:, 2],
+                t_e[:, 0], t_e[:, 1], t_e[:, 2],
+                jnp.zeros((num_objects,), jnp.float32),
+            ], axis=0)                                    # (16, K)
+            (e00, e01, e02, e10, e11, e12, e20, e21, e22,
+             sex, sey, sez, tex, tey, tez, _) = edit_tbl[:, point_object_id]
+        ax = px * sex + tex
+        ay = py * sey + tey
+        az = pz * sez + tez
+        px = e00 * ax + e01 * ay + e02 * az
+        py = e10 * ax + e11 * ay + e12 * az
+        pz = e20 * ax + e21 * ay + e22 * az
+
     # ---- project position (reference: GaussianPoint3D.py:14-27) ----
     xc = w00 * px + w01 * py + w02 * pz + tcx
     yc = w10 * px + w11 * py + w12 * pz + tcy
@@ -161,6 +200,21 @@ def compute_point_attributes(
     m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
     m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
     m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    if object_edit is not None:
+        # Sigma' = (R_e S_e) Sigma (R_e S_e)^T, i.e. M' = R_e (S_e M)
+        # (reference: GaussianPoint3D.py:196-235)
+        b0j0, b0j1, b0j2 = sex * m00, sex * m01, sex * m02
+        b1j0, b1j1, b1j2 = sey * m10, sey * m11, sey * m12
+        b2j0, b2j1, b2j2 = sez * m20, sez * m21, sez * m22
+        m00 = e00 * b0j0 + e01 * b1j0 + e02 * b2j0
+        m01 = e00 * b0j1 + e01 * b1j1 + e02 * b2j1
+        m02 = e00 * b0j2 + e01 * b1j2 + e02 * b2j2
+        m10 = e10 * b0j0 + e11 * b1j0 + e12 * b2j0
+        m11 = e10 * b0j1 + e11 * b1j1 + e12 * b2j1
+        m12 = e10 * b0j2 + e11 * b1j2 + e12 * b2j2
+        m20 = e20 * b0j0 + e21 * b1j0 + e22 * b2j0
+        m21 = e20 * b0j1 + e21 * b1j1 + e22 * b2j1
+        m22 = e20 * b0j2 + e21 * b1j2 + e22 * b2j2
 
     # ---- EWA covariance: cov2d = P P^T with P = (J W) M ----
     # J rows (reference jacobian, GaussianPoint3D.py:65-87)

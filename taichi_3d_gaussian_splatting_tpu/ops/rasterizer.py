@@ -299,12 +299,14 @@ _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
                      point_object_id, q_pointcloud_camera,
-                     t_pointcloud_camera, camera_info, config, color_sh_mask):
+                     t_pointcloud_camera, camera_info, config, color_sh_mask,
+                     object_edit=None):
     q_cam, t_cam = inverse_SE3_qt(q_pointcloud_camera, t_pointcloud_camera)
     attrs = compute_point_attributes(
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         q_cam, t_cam, t_pointcloud_camera, camera_info,
-        config.near_plane, config.far_plane, color_sh_mask)
+        config.near_plane, config.far_plane, color_sh_mask,
+        object_edit=object_edit)
     cols, depth = _blend_inputs_from_attrs(attrs)
     binning = bin_points_to_tiles(
         attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
@@ -367,6 +369,8 @@ def rasterize(
     camera_info: CameraInfo,
     config: RasterizerConfig,
     color_sh_mask=None,                # optional (16,) band curriculum mask
+    object_edit=None,                  # optional (q (K,4), s (K,3), t (K,3))
+    #   per-object scene-editing transform (see ops/projection.py)
 ) -> RasterizeResult:
     """Render one view. Differentiable wrt pointcloud and features via
     jax.grad (equivalent of reference forward, :1184-1204)."""
@@ -375,7 +379,7 @@ def rasterize(
     attrs, cols, depth, binning = _project_and_bin(
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
-        color_sh_mask)
+        color_sh_mask, object_edit=object_edit)
     static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n,
                   config.max_tiles_per_point)
     blend_binning = _BlendBinning(

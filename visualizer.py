@@ -13,6 +13,9 @@ visualizer.py:105-288):
   the rasterizer)
 - W/A/S/D/Q/E translate, arrow keys (or IJKL) rotate
 - H hides the selected object, P shows it (invalid-mask based)
+- [ / ] shrink / grow the selected object (per-object scale editing via the
+  rasterizer's object_edit transform - the reference defines this projection
+  variant but never exposes it, reference: GaussianPoint3D.py:193-235)
 - R resets the view
 
 Run:  python visualizer.py --parquet_path a.parquet b.parquet --port 8000
@@ -33,7 +36,8 @@ PAGE = """<!DOCTYPE html>
 img{image-rendering:pixelated;border:1px solid #444;margin-top:8px}</style>
 </head><body>
 <div>W/A/S/D/Q/E move &middot; arrows rotate &middot; 0-9 select object
- &middot; ` camera &middot; H hide &middot; P show &middot; R reset</div>
+ &middot; ` camera &middot; H hide &middot; P show &middot; [ ] scale
+ &middot; R reset</div>
 <div id="status"></div>
 <img id="view" width="{W}" height="{H}"/>
 <script>
@@ -81,9 +85,14 @@ class VisualizerState:
 
         import jax
 
-        def render(qs, ts, invalid):
+        def render(qs, ts, invalid, scales):
+            identity_q = jnp.tile(jnp.array([[0.0, 0.0, 0.0, 1.0]]),
+                                  (self.num_objects, 1))
+            edit = (identity_q, scales,
+                    jnp.zeros((self.num_objects, 3)))
             result = rasterize(self.pc, self.feats, invalid, self.obj,
-                               qs, ts, self.cam, self.raster_cfg)
+                               qs, ts, self.cam, self.raster_cfg,
+                               object_edit=edit)
             return jnp.clip(result.image, 0.0, 1.0)
 
         self._render = jax.jit(render)
@@ -92,6 +101,7 @@ class VisualizerState:
         self.qs = np.tile(np.array([0.0, 0.0, 0.0, 1.0], np.float32),
                           (self.num_objects, 1))
         self.ts = np.zeros((self.num_objects, 3), np.float32)
+        self.scales = np.ones((self.num_objects, 3), np.float32)
 
     def _targets(self):
         if self.selected is None:
@@ -129,6 +139,11 @@ class VisualizerState:
                 self.hidden[self.selected] = key == "h"
                 return ("hidden" if key == "h" else "shown") + \
                     f" object {self.selected}"
+            if key in ("[", "]") and self.selected is not None:
+                factor = 1.1 if key == "]" else 1.0 / 1.1
+                self.scales[self.selected] *= factor
+                return (f"object {self.selected} scale "
+                        f"{self.scales[self.selected][0]:.2f}")
             targets, sign = self._targets()
             if key in moves:
                 delta = np.array(moves[key], np.float32) * sign
@@ -165,7 +180,8 @@ class VisualizerState:
                     invalid[np.asarray(self.obj) == i] = 1
             qs = jnp.asarray(self.qs)
             ts = jnp.asarray(self.ts)
-        img = np.asarray(self._render(qs, ts, jnp.asarray(invalid)))
+            scales = jnp.asarray(self.scales)
+        img = np.asarray(self._render(qs, ts, jnp.asarray(invalid), scales))
         buf = io.BytesIO()
         PIL.Image.fromarray((img * 255).astype(np.uint8)).save(buf, "PNG")
         return buf.getvalue()
