@@ -146,7 +146,7 @@ def measure_train_step(pc, feats, cam):
                            max_tiles_per_point=32,
                            big_point_divisor=16,
                            mid_point_divisor=4,
-                           max_keys=2 ** 20)
+                           max_keys=786_432)
     invalid = jnp.zeros((n,), jnp.int8)
     obj = jnp.zeros((n,), jnp.int32)
     q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])

@@ -32,7 +32,8 @@ cfg = RasterizerConfig(
     max_tiles_per_point=32,
     big_point_divisor=int(os.environ.get("BIGDIV", "16")),
     mid_point_divisor=int(os.environ.get("MIDDIV", "4")),
-    max_keys=int(os.environ.get("MK", str(2 ** 20))))
+    max_keys=int(os.environ.get("MK", str(2 ** 20))),
+    chunk=int(os.environ.get("CHUNK", "128")))
 
 pc, feats = bench.load_scene()
 n = pc.shape[0]
