@@ -109,6 +109,14 @@ class TrainConfig:
     # mesh_devices=0 uses every visible device (see parallel/sharding.py)
     batch_size: int = 1
     mesh_devices: int = 0
+    # device-side dataset cache: upload every (downsampled) training image
+    # and pose ONCE per downsample factor, then index device arrays per
+    # step. Host->device transfers through a remote-TPU tunnel cost ~65 ms
+    # per call (measured; a per-iteration image upload would dominate the
+    # ~10-50 ms step), so streaming is only used when images have mixed
+    # shapes or the cache would exceed the byte budget.
+    cache_dataset_on_device: bool = True
+    device_cache_max_bytes: int = 4 * 1024 ** 3
     rasterisation_config: RasterizerConfig = dataclasses.field(
         default_factory=RasterizerConfig)
     adaptive_controller_config: AdaptiveControllerConfig = dataclasses.field(
@@ -152,6 +160,19 @@ def _downsample_item(item: DatasetItem, factor: int) -> DatasetItem:
                                           :cam.camera_width, :3] / 255.0
     return DatasetItem(np.ascontiguousarray(arr), item.q_pointcloud_camera,
                        item.t_pointcloud_camera, cam)
+
+
+class _LazyCacheImage:
+    """Deferred fetch of a device-cached GT image (panel logging only) -
+    materializing it every iteration would reintroduce the per-step device
+    round trip the cache exists to avoid."""
+
+    def __init__(self, stack, idx):
+        self.stack = stack
+        self.idx = idx
+
+    def fetch(self):
+        return np.asarray(self.stack[int(self.idx)])
 
 
 class MetricsLogger:
@@ -242,6 +263,7 @@ class GaussianPointCloudTrainer:
         self._densify_fn = None
         self._reset_alpha_fn = None
         self._mesh = None
+        self._val_cache = None
         self.start_iteration = 0
         if config.resume_from_checkpoint:
             state_template = (self.scene, self.opt_state_features,
@@ -278,13 +300,64 @@ class GaussianPointCloudTrainer:
         key = (camera_info.camera_height, camera_info.camera_width)
         if key in self._step_fns:
             return self._step_fns[key]
+        step = jax.jit(self._make_raw_step(camera_info))
+        self._step_fns[key] = step
+        return step
+
+    def _get_cached_step_fn(self, camera_info: CameraInfo, num_views: int):
+        """One-dispatch-per-iteration step over the DEVICE-cached dataset.
+
+        View selection (per-epoch permutation), the iteration counter, and
+        the SH-band curriculum all live on device in `data_state`, so the
+        host enqueues exactly one execution per iteration with zero
+        host->device transfers - through a remote-TPU tunnel each transfer
+        or extra dispatch costs tens of milliseconds (measured), which at
+        one image per step would dominate the compute.
+
+        data_state = (iteration (), perm (V,), pos (), prng_key); initialize
+        pos = V so the first step reshuffles. Signature:
+          step(scene, opt_feat, opt_pos, ctrl, data_state,
+               images (V,H,W,3), qs (V,1,4), ts (V,1,3), intrs (V,3,3))
+        returning the raw step outputs plus the advanced data_state.
+        """
+        key = (camera_info.camera_height, camera_info.camera_width,
+               num_views, "cached")
+        if key in self._step_fns:
+            return self._step_fns[key]
+        raw_step = self._make_raw_step(camera_info)
+        band_interval = self.config.increase_color_max_sh_band_interval
+
+        @jax.jit
+        def cached_step(scene, opt_feat, opt_pos, ctrl_state, data_state,
+                        images, qs, ts, intrs):
+            iteration, perm, pos, prng = data_state
+            def reshuffle(args):
+                perm, prng, pos = args
+                prng, sub = jax.random.split(prng)
+                return (jax.random.permutation(
+                    sub, jnp.arange(num_views, dtype=jnp.int32)),
+                    prng, jnp.int32(0))
+            perm, prng, pos = jax.lax.cond(
+                pos >= num_views, reshuffle, lambda a: a,
+                (perm, prng, pos))
+            idx = perm[pos]
+            sh_band = iteration // band_interval
+            out = raw_step(scene, opt_feat, opt_pos, ctrl_state,
+                           images[idx], qs[idx], ts[idx], sh_band,
+                           intrs[idx])
+            new_state = (iteration + 1, perm, pos + 1, prng)
+            return out + (new_state, idx)
+
+        self._step_fns[key] = cached_step
+        return cached_step
+
+    def _make_raw_step(self, camera_info: CameraInfo):
         raster_cfg = self.config.rasterisation_config
         loss_fn = self.loss_fn
         grad_scale = self._grad_scale
         feature_optimizer = self.feature_optimizer
         position_optimizer = self.position_optimizer
 
-        @jax.jit
         def step(scene: GaussianPointCloudScene, opt_feat, opt_pos,
                  ctrl_state: ControllerState, image_gt, q, t, sh_band,
                  intrinsics):
@@ -349,7 +422,6 @@ class GaussianPointCloudTrainer:
                     densify_inputs, result.pixel_valid_point_count,
                     result.depth, img)
 
-        self._step_fns[key] = step
         return step
 
     def _get_densify_fn(self):
@@ -369,15 +441,55 @@ class GaussianPointCloudTrainer:
     # main loop
     # ------------------------------------------------------------------
 
+    def _build_device_cache(self, factor: int):
+        """Upload the whole (downsampled) training set to HBM once.
+
+        Returns (camera_info, images (V,H,W,3), qs (V,1,4), ts (V,1,3),
+        intrinsics (V,3,3)) as device arrays, or None when shapes are mixed
+        or the byte budget would be exceeded (streaming fallback)."""
+        config = self.config
+        n = len(self.train_dataset)
+        items = []
+        for i in range(n):
+            items.append(_downsample_item(self.train_dataset[i], factor))
+        shapes = {(it.camera_info.camera_height, it.camera_info.camera_width)
+                  for it in items}
+        if len(shapes) != 1:
+            return None
+        total_bytes = sum(np.asarray(it.image, np.float32).nbytes
+                          for it in items)
+        if total_bytes > config.device_cache_max_bytes:
+            return None
+        images = jnp.asarray(np.stack(
+            [np.asarray(it.image, np.float32) for it in items]))
+        qs = jnp.asarray(np.stack(
+            [np.asarray(it.q_pointcloud_camera, np.float32) for it in items]))
+        ts = jnp.asarray(np.stack(
+            [np.asarray(it.t_pointcloud_camera, np.float32) for it in items]))
+        intrs = jnp.asarray(np.stack(
+            [np.asarray(it.camera_info.camera_intrinsics, np.float32)
+             for it in items]))
+        jax.block_until_ready(images)
+        return (items[0].camera_info, images, qs, ts, intrs)
+
     def train(self):
         config = self.config
         ctrl_cfg = config.adaptive_controller_config
-        loader = PrefetchLoader(self.train_dataset, shuffle=True,
-                                num_workers=4, seed=config.seed)
-        data_iter = iter(loader)
+        use_cache = config.cache_dataset_on_device
+        loader = None
+        data_iter = None
+        if not use_cache:
+            loader = PrefetchLoader(self.train_dataset, shuffle=True,
+                                    num_workers=4, seed=config.seed)
+            data_iter = iter(loader)
+        device_cache = None
+        cache_factor = -1
+        cache_rng = np.random.default_rng(config.seed)
+        cache_order = []
         downsample_factor = config.initial_downsample_factor
         recent_losses = collections.deque(maxlen=100)
-        previous_problematic_iteration = -1000
+        pending_metrics = []
+        self._previous_problematic_iteration = -1000
 
         start = self.start_iteration
         # replay the downsample schedule up to the resume point
@@ -410,33 +522,88 @@ class GaussianPointCloudTrainer:
                 downsample_factor = downsample_factor // 2
             sh_band = iteration // config.increase_color_max_sh_band_interval
             pos_before = self.scene.point_cloud  # pre-optimizer positions
+
+            # ---- inputs: device cache (one upload per factor) or stream --
+            if use_cache and cache_factor != downsample_factor:
+                device_cache = self._build_device_cache(downsample_factor)
+                cache_factor = downsample_factor
+                cache_order = []
+                if device_cache is not None:
+                    v = device_cache[1].shape[0]
+                    self.key, sub = jax.random.split(self.key)
+                    # device-side data state: iteration counter (drives the
+                    # SH-band curriculum), epoch permutation (pos=V forces a
+                    # shuffle on the first step), PRNG key
+                    self._data_state = (jnp.int32(iteration),
+                                        jnp.arange(v, dtype=jnp.int32),
+                                        jnp.int32(v), sub)
+                elif data_iter is None:
+                    loader = PrefetchLoader(self.train_dataset, shuffle=True,
+                                            num_workers=4, seed=config.seed)
+                    data_iter = iter(loader)
+
+            def next_cache_indices(k):
+                nonlocal cache_order
+                out = []
+                for _ in range(k):
+                    if not cache_order:
+                        cache_order = list(cache_rng.permutation(
+                            device_cache[1].shape[0]))
+                    out.append(int(cache_order.pop()))
+                return out
+
             if config.batch_size > 1:
-                items = [_downsample_item(next(data_iter), downsample_factor)
-                         for _ in range(config.batch_size)]
-                item = items[-1]
-                cam = item.camera_info
-                for other in items[:-1]:
-                    if (other.camera_info.camera_height != cam.camera_height
-                            or other.camera_info.camera_width
-                            != cam.camera_width):
-                        raise ValueError(
-                            "batch_size > 1 requires a uniform image shape "
-                            "across the dataset (one executable per shape)")
+                if device_cache is not None:
+                    cam, images_d, qs_d, ts_d, intrs_d = device_cache
+                    idxs = jnp.asarray(
+                        next_cache_indices(config.batch_size), jnp.int32)
+                    batch_in = (images_d[idxs], qs_d[idxs], ts_d[idxs],
+                                intrs_d[idxs])
+                    gt_image_host = None
+                else:
+                    items = [_downsample_item(next(data_iter),
+                                              downsample_factor)
+                             for _ in range(config.batch_size)]
+                    cam = items[-1].camera_info
+                    for other in items[:-1]:
+                        if (other.camera_info.camera_height
+                                != cam.camera_height
+                                or other.camera_info.camera_width
+                                != cam.camera_width):
+                            raise ValueError(
+                                "batch_size > 1 requires a uniform image "
+                                "shape (one executable per shape)")
+                    batch_in = (
+                        jnp.stack([jnp.asarray(i.image) for i in items]),
+                        jnp.stack([jnp.asarray(i.q_pointcloud_camera)
+                                   for i in items]),
+                        jnp.stack([jnp.asarray(i.t_pointcloud_camera)
+                                   for i in items]),
+                        jnp.stack([jnp.asarray(
+                            i.camera_info.camera_intrinsics, jnp.float32)
+                            for i in items]))
+                    gt_image_host = None
                 step = self._get_batch_step_fn(cam)
                 (self.scene, self.opt_state_features,
                  self.opt_state_positions, self.ctrl_state, metrics,
                  densify_inputs) = step(
                     self.scene, self.opt_state_features,
                     self.opt_state_positions, self.ctrl_state,
-                    jnp.stack([jnp.asarray(i.image) for i in items]),
-                    jnp.stack([jnp.asarray(i.q_pointcloud_camera)
-                               for i in items]),
-                    jnp.stack([jnp.asarray(i.t_pointcloud_camera)
-                               for i in items]),
-                    jnp.stack([jnp.asarray(i.camera_info.camera_intrinsics,
-                                           jnp.float32) for i in items]),
-                    jnp.int32(sh_band))
+                    *batch_in, jnp.int32(sh_band))
                 valid_count_map = depth_map = pred_image = None
+            elif device_cache is not None:
+                # ONE dispatch, ZERO transfers per iteration: view choice,
+                # iteration counter, and SH-band curriculum run on device
+                cam, images_d, qs_d, ts_d, intrs_d = device_cache
+                step = self._get_cached_step_fn(cam, images_d.shape[0])
+                (self.scene, self.opt_state_features,
+                 self.opt_state_positions, self.ctrl_state, metrics,
+                 densify_inputs, valid_count_map, depth_map, pred_image,
+                 self._data_state, last_idx) = step(
+                    self.scene, self.opt_state_features,
+                    self.opt_state_positions, self.ctrl_state,
+                    self._data_state, images_d, qs_d, ts_d, intrs_d)
+                gt_image_host = _LazyCacheImage(images_d, last_idx)
             else:
                 item = next(data_iter)
                 item = _downsample_item(item, downsample_factor)
@@ -453,6 +620,7 @@ class GaussianPointCloudTrainer:
                     jnp.asarray(item.t_pointcloud_camera),
                     jnp.int32(sh_band),
                     jnp.asarray(cam.camera_intrinsics, jnp.float32))
+                gt_image_host = item.image
 
             # ---- adaptive controller cadence (reference: :142-167) ----
             densified = False
@@ -478,70 +646,107 @@ class GaussianPointCloudTrainer:
                     and iteration % ctrl_cfg.num_iterations_reset_alpha == 0):
                 self.scene = reset_alpha(self.scene, ctrl_cfg)
 
-            # ---- logging (reference: :205-264) ----
-            loss_value = float(metrics["loss"])
-            recent_losses.append(loss_value)
-            is_problematic = False
-            if (len(recent_losses) == recent_losses.maxlen
-                    and iteration - previous_problematic_iteration
-                    > recent_losses.maxlen):
-                avg_loss = sum(recent_losses) / len(recent_losses)
-                if loss_value > avg_loss * 1.5:
-                    is_problematic = True
-                    previous_problematic_iteration = iteration
-
-            if iteration % config.overflow_check_interval == 0:
-                self._check_capacity_overflow(iteration, metrics)
+            # ---- deferred metrics pipeline (reference: :205-264) ----
+            # Materializing a device scalar blocks on the step AND pays a
+            # host round trip (measured ~200 ms through the axon TPU
+            # tunnel, vs an ~8-50 ms device step). Metrics therefore stay
+            # on device and are fetched in ONE batched device_get per
+            # log_loss_interval. The loss-spike detector and the capacity
+            # overflow guard run on the flushed batch - at most
+            # log_loss_interval iterations late (the reference pays a
+            # per-iteration sync instead, reference: :233-238).
             now = time.perf_counter()
             if not hasattr(self, "_last_iter_time"):
                 self._last_iter_time = now
             iter_wall = now - self._last_iter_time
             self._last_iter_time = now
+            pending_metrics.append((iteration, metrics, iter_wall))
+            validation_due = ((iteration % config.val_interval == 0
+                               and iteration != 0)
+                              or iteration in (5000, 7000))  # reference: :266
+            # the final iteration only forces a flush (the post-loop
+            # validation covers it)
+            flush_due = (validation_due
+                         or iteration == config.num_iterations - 1)
+            is_problematic = False
+            if iteration % config.log_loss_interval == 0 or flush_due:
+                is_problematic = self._flush_metrics(pending_metrics,
+                                                     recent_losses)
+                pending_metrics.clear()
+
+            if ((iteration % config.log_image_interval == 0 or is_problematic)
+                    and pred_image is not None):
+                # [pred | gt | depth cmap | points-per-pixel] panel
+                # (reference: GaussianPointTrainer.py:240-263); on a spike
+                # the panel shows the current step, which is at most
+                # log_loss_interval iterations after the flagged one
+                from ..utils.visualization import (easy_cmap, make_image_grid,
+                                                   normalized_gray)
+                tag = ("train/image_problematic" if is_problematic
+                       else "train/image")
+                gt_np = (gt_image_host.fetch()
+                         if isinstance(gt_image_host, _LazyCacheImage)
+                         else np.asarray(gt_image_host))
+                panel = make_image_grid([
+                    np.asarray(pred_image), gt_np,
+                    easy_cmap(np.asarray(depth_map)),
+                    normalized_gray(np.asarray(valid_count_map)),
+                    np.abs(np.asarray(pred_image) - gt_np),
+                ], nrow=2)
+                self.logger.image(iteration, tag, panel)
+
+            if validation_due:
+                self.validation(iteration)
+
+        self.validation(config.num_iterations,
+                        completed=config.num_iterations)
+
+    def _flush_metrics(self, pending, recent_losses) -> bool:
+        """Materialize queued per-iteration metrics with ONE device_get and
+        run the per-iteration bookkeeping on them (loss-spike detection,
+        overflow guard, cadenced logging). Returns whether any flushed
+        iteration tripped the loss-spike detector (reference: :233-238)."""
+        config = self.config
+        if not pending:
+            return False
+        fetched = jax.device_get([m for _, m, _ in pending])
+        any_problematic = False
+        for (iteration, _, iter_wall), vals in zip(pending, fetched):
+            vals = {k: float(v) for k, v in vals.items()}
+            loss_value = vals["loss"]
+            recent_losses.append(loss_value)
+            if (len(recent_losses) == recent_losses.maxlen
+                    and iteration - self._previous_problematic_iteration
+                    > recent_losses.maxlen):
+                avg_loss = sum(recent_losses) / len(recent_losses)
+                if loss_value > avg_loss * 1.5:
+                    any_problematic = True
+                    self._previous_problematic_iteration = iteration
+            if iteration % config.overflow_check_interval == 0:
+                self._check_capacity_overflow(iteration, vals)
             if iteration % config.log_loss_interval == 0:
                 self.logger.scalars(iteration, {
                     "train/iter_wall_seconds": iter_wall,
-                    "train/loss": metrics["loss"],
-                    "train/l1 loss": metrics["l1"],
-                    "train/ssim loss": metrics["ssim_loss"],
-                    "train/big_point_overflow": metrics["big_point_overflow"],
-                    "train/tile_cap_overflow": metrics["tile_cap_overflow"],
-                    "train/total_keys": metrics["total_keys"],
+                    "train/loss": vals["loss"],
+                    "train/l1 loss": vals["l1"],
+                    "train/ssim loss": vals["ssim_loss"],
+                    "train/big_point_overflow": vals["big_point_overflow"],
+                    "train/tile_cap_overflow": vals["tile_cap_overflow"],
+                    "train/total_keys": vals["total_keys"],
                 }, console_keys=(
                     ("train/loss", "train/l1 loss", "train/ssim loss")
                     if config.print_metrics_to_console else ()))
                 if config.print_metrics_to_console:
                     print(f"train_iteration={iteration};")
             if iteration % config.log_metrics_interval == 0:
-                vals = {"train/psnr": metrics["psnr"],
-                        "train/ssim": metrics["ssim"]}
-                self.logger.scalars(iteration, vals)
+                self.logger.scalars(iteration, {
+                    "train/psnr": vals["psnr"], "train/ssim": vals["ssim"]})
                 if config.print_metrics_to_console:
-                    print(f"train_psnr={float(metrics['psnr'])};")
-                    print(f"train_psnr_{iteration}={float(metrics['psnr'])};")
-                    print(f"train_ssim={float(metrics['ssim'])};")
-                    print(f"train_ssim_{iteration}={float(metrics['ssim'])};")
-            if ((iteration % config.log_image_interval == 0 or is_problematic)
-                    and pred_image is not None):
-                # [pred | gt | depth cmap | points-per-pixel] panel
-                # (reference: GaussianPointTrainer.py:240-263)
-                from ..utils.visualization import (easy_cmap, make_image_grid,
-                                                   normalized_gray)
-                tag = ("train/image_problematic" if is_problematic
-                       else "train/image")
-                panel = make_image_grid([
-                    np.asarray(pred_image), np.asarray(item.image),
-                    easy_cmap(np.asarray(depth_map)),
-                    normalized_gray(np.asarray(valid_count_map)),
-                    np.abs(np.asarray(pred_image) - np.asarray(item.image)),
-                ], nrow=2)
-                self.logger.image(iteration, tag, panel)
-
-            if ((iteration % config.val_interval == 0 and iteration != 0)
-                    or iteration in (5000, 7000)):  # reference: :266
-                self.validation(iteration)
-
-        self.validation(config.num_iterations,
-                        completed=config.num_iterations)
+                    print(f"train_psnr={vals['psnr']};")
+                    print(f"train_psnr_{iteration}={vals['psnr']};")
+                    print(f"train_ssim={vals['ssim']};")
+                    print(f"train_ssim_{iteration}={vals['ssim']};")
+        return any_problematic
 
     def _check_capacity_overflow(self, iteration: int, metrics: dict):
         """Continuous capacity-overflow guard.
@@ -615,6 +820,36 @@ class GaussianPointCloudTrainer:
             raster_cfg)
         return result
 
+    def _get_val_cache(self):
+        """Device-resident validation set (same rationale as the training
+        cache: per-view uploads and per-metric syncs through a remote-TPU
+        tunnel would cost ~1 s per view). False = streaming fallback."""
+        if self._val_cache is None:
+            n = len(self.val_dataset)
+            items = [self.val_dataset[i] for i in range(n)]
+            shapes = {(it.camera_info.camera_height,
+                       it.camera_info.camera_width) for it in items}
+            total = sum(np.asarray(it.image, np.float32).nbytes
+                        for it in items)
+            if (n == 0 or len(shapes) != 1
+                    or total > self.config.device_cache_max_bytes):
+                self._val_cache = False
+            else:
+                self._val_cache = (
+                    items[0].camera_info,
+                    jnp.asarray(np.stack(
+                        [np.asarray(it.image, np.float32) for it in items])),
+                    jnp.asarray(np.stack(
+                        [np.asarray(it.q_pointcloud_camera, np.float32)
+                         for it in items])),
+                    jnp.asarray(np.stack(
+                        [np.asarray(it.t_pointcloud_camera, np.float32)
+                         for it in items])),
+                    jnp.asarray(np.stack(
+                        [np.asarray(it.camera_info.camera_intrinsics,
+                                    np.float32) for it in items])))
+        return self._val_cache
+
     def validation(self, iteration: int, completed: Optional[int] = None):
         config = self.config
         if completed is None:
@@ -622,24 +857,57 @@ class GaussianPointCloudTrainer:
         total_loss = total_psnr = total_ssim = 0.0
         total_time = 0.0
         count = 0
-        for idx in range(len(self.val_dataset)):
-            item = self.val_dataset[idx]
-            cam = item.camera_info
+        cache = (self._get_val_cache()
+                 if config.cache_dataset_on_device else False)
+        fetch_images = config.log_validation_image and self.logger.tb
+        if cache:
+            # device-cached path: all per-view metrics stay on device and
+            # come back in ONE batched fetch
+            cam, images_d, qs_d, ts_d, intrs_d = cache
+            cam_hw = CameraInfoStatic(cam.camera_height, cam.camera_width)
+            raster_cfg = self.config.rasterisation_config
+            per_view = []
+            imgs = []
             t0 = time.perf_counter()
-            image = self._render_for_eval(item)
-            image.block_until_ready()
-            total_time += (time.perf_counter() - t0) * 1000.0
-            img = jnp.clip(image, 0.0, 1.0)
-            gt = jnp.asarray(item.image)
-            loss, _, ld_ssim = self.loss_fn(img, gt)
-            total_loss += float(loss)
-            total_psnr += float(psnr_fn(img, gt))
-            total_ssim += float(1.0 - ld_ssim)
-            count += 1
-            if config.log_validation_image:
-                grid = np.concatenate([np.asarray(img), np.asarray(gt)],
-                                      axis=1)
-                self.logger.image(iteration, f"val/image {idx}", grid)
+            for idx in range(images_d.shape[0]):
+                img = _eval_render(self.scene, qs_d[idx], ts_d[idx],
+                                   intrs_d[idx], cam_hw, raster_cfg)
+                img = jnp.clip(img, 0.0, 1.0)
+                loss, _, ld_ssim = self.loss_fn(img, images_d[idx])
+                per_view.append((loss, psnr_fn(img, images_d[idx]), ld_ssim))
+                if fetch_images:
+                    imgs.append(img)
+            fetched = jax.device_get(per_view)
+            total_time = (time.perf_counter() - t0) * 1000.0
+            count = len(fetched)
+            for idx, (loss, psnr_v, ld_ssim) in enumerate(fetched):
+                total_loss += float(loss)
+                total_psnr += float(psnr_v)
+                total_ssim += float(1.0 - ld_ssim)
+                if fetch_images:
+                    grid = np.concatenate(
+                        [np.asarray(imgs[idx]), np.asarray(images_d[idx])],
+                        axis=1)
+                    self.logger.image(iteration, f"val/image {idx}", grid)
+        else:
+            for idx in range(len(self.val_dataset)):
+                item = self.val_dataset[idx]
+                cam = item.camera_info
+                t0 = time.perf_counter()
+                image = self._render_for_eval(item)
+                image.block_until_ready()
+                total_time += (time.perf_counter() - t0) * 1000.0
+                img = jnp.clip(image, 0.0, 1.0)
+                gt = jnp.asarray(item.image)
+                loss, _, ld_ssim = self.loss_fn(img, gt)
+                total_loss += float(loss)
+                total_psnr += float(psnr_fn(img, gt))
+                total_ssim += float(1.0 - ld_ssim)
+                count += 1
+                if config.log_validation_image:
+                    grid = np.concatenate([np.asarray(img), np.asarray(gt)],
+                                          axis=1)
+                    self.logger.image(iteration, f"val/image {idx}", grid)
         if count == 0:
             return
         mean_loss = total_loss / count
@@ -649,7 +917,8 @@ class GaussianPointCloudTrainer:
         self.logger.scalars(iteration, {
             "val/loss": mean_loss, "val/psnr": mean_psnr,
             "val/ssim": mean_ssim, "val/inference_time": mean_time,
-        })
+        })  # cached path: inference_time is the per-view mean incl. the
+        #     single batched metric fetch
         if config.print_metrics_to_console:
             print(f"val_loss={mean_loss};")
             print(f"val_psnr={mean_psnr};")
