@@ -39,11 +39,19 @@ def _coerce(field_type: Any, value: Any) -> Any:
     int interval, etc.)."""
     import typing
     origin = typing.get_origin(field_type)
+    # effective scalar target after unwrapping Optional[...]
+    scalar_target = field_type
+    if origin is typing.Union:
+        non_none = [a for a in typing.get_args(field_type)
+                    if a is not type(None)]
+        if len(non_none) == 1:
+            scalar_target = non_none[0]
     if (isinstance(value, (list, tuple)) and len(value) <= 1
-            and not dataclasses.is_dataclass(field_type)
-            and origin not in (list, tuple)):
+            and scalar_target in (float, int, bool, str, type(None))):
         # `!!python/tuple [null]` style singleton wrapping (reference's
-        # config_template.yaml) collapses to its element
+        # config_template.yaml) collapses to its element - but ONLY onto
+        # (optionally Optional) scalar fields, so a future List[...] / Any
+        # field can never have a legitimate [x] silently become x
         value = value[0] if value else None
     if origin is typing.Union:  # Optional[...]
         args = [a for a in typing.get_args(field_type) if a is not type(None)]

@@ -139,7 +139,8 @@ def _slot_div_mod(slots, dv):
 
 
 def _emit_tier(slots, count, min_u, min_v, dv, depth_q, tiles_x, depth_bits):
-    """Slot grid -> packed keys, laid out (S, N) so the minor (lane) dim is
+    """Slot grid -> packed keys (padding slots carry INT32_MAX), laid out
+    (S, N) so the minor (lane) dim is
     the point dim (a (N, S) layout would put S<128 on the lanes and pad 32x).
     Emission order within a point matches the reference (tile_u outer, tile_v
     inner, reference: :161-172); the *memory* order is slot-major, but every
@@ -148,7 +149,7 @@ def _emit_tier(slots, count, min_u, min_v, dv, depth_q, tiles_x, depth_bits):
     du_idx, dv_idx = _slot_div_mod(slots[:, None], jnp.maximum(dv, 1)[None, :])
     tile = (min_v[None, :] + dv_idx) * tiles_x + (min_u[None, :] + du_idx)
     key = tile * (1 << depth_bits) + depth_q[None, :]
-    return jnp.where(valid, key, INT32_MAX), valid
+    return jnp.where(valid, key, INT32_MAX)
 
 
 def bin_points_to_tiles(
@@ -177,6 +178,12 @@ def bin_points_to_tiles(
 
     n = u.shape[0]
     t_b = max_tiles_per_point
+    if t_b < MID_SLOTS:
+        # a point covering MID_SLOTS tiles would emit more keys than
+        # point_kept_keys reports and than the backward's segmented scan
+        # covers - silent gradient corruption, so refuse loudly
+        raise ValueError(
+            f"max_tiles_per_point={t_b} must be >= {MID_SLOTS} (MID_SLOTS)")
     n_mid_cap, n_big_cap = pool_capacities(n, mid_point_divisor,
                                            big_point_divisor)
     tiles_x = camera_info.camera_width // TILE_WIDTH
@@ -197,8 +204,8 @@ def bin_points_to_tiles(
     is_small = count_full <= TIER_A_SLOTS
     count_a = jnp.where(is_small, count_full, 0)
     slots_a = jnp.arange(TIER_A_SLOTS, dtype=jnp.int32)
-    keys_a, valid_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
-                                 tiles_x, depth_bits)          # (2, N)
+    keys_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
+                        tiles_x, depth_bits)                   # (2, N)
 
     # ---- pools: ONE category sort selects both tiers (no scatter) ---------
     # category 0 = big (count > MID_SLOTS), 1 = mid (TIER_A < count <= MID),
@@ -241,15 +248,15 @@ def bin_points_to_tiles(
     count_b = jnp.where(big_active,
                         jnp.minimum(bm_count[:n_big_cap], t_b), 0)
     slots_b = jnp.arange(t_b, dtype=jnp.int32)
-    keys_b, valid_b = _emit_tier(slots_b, count_b, bm_min_u[:n_big_cap],
-                                 bm_min_v[:n_big_cap], bm_dv[:n_big_cap],
-                                 bm_depth_q[:n_big_cap], tiles_x, depth_bits)
+    keys_b = _emit_tier(slots_b, count_b, bm_min_u[:n_big_cap],
+                        bm_min_v[:n_big_cap], bm_dv[:n_big_cap],
+                        bm_depth_q[:n_big_cap], tiles_x, depth_bits)
 
     count_m = jnp.where(mid_active, bm_count[n_big_cap:], 0)
     slots_m = jnp.arange(MID_SLOTS, dtype=jnp.int32)
-    keys_m, valid_m = _emit_tier(slots_m, count_m, bm_min_u[n_big_cap:],
-                                 bm_min_v[n_big_cap:], bm_dv[n_big_cap:],
-                                 bm_depth_q[n_big_cap:], tiles_x, depth_bits)
+    keys_m = _emit_tier(slots_m, count_m, bm_min_u[n_big_cap:],
+                        bm_min_v[n_big_cap:], bm_dv[n_big_cap:],
+                        bm_depth_q[n_big_cap:], tiles_x, depth_bits)
 
     # ---- flatten + pad + one packed sort ------------------------------
     # Emission POSITION values stay contiguous per point (tier-A point i owns

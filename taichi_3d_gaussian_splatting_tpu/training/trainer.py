@@ -711,6 +711,10 @@ class GaussianPointCloudTrainer:
             return False
         fetched = jax.device_get([m for _, m, _ in pending])
         any_problematic = False
+        # the host runs ahead of the device (async dispatch), so a single
+        # iteration's host-side delta is meaningless: report the batch mean,
+        # which is the true amortized wall seconds per iteration
+        mean_wall = sum(w for _, _, w in pending) / len(pending)
         for (iteration, _, iter_wall), vals in zip(pending, fetched):
             vals = {k: float(v) for k, v in vals.items()}
             loss_value = vals["loss"]
@@ -726,7 +730,7 @@ class GaussianPointCloudTrainer:
                 self._check_capacity_overflow(iteration, vals)
             if iteration % config.log_loss_interval == 0:
                 self.logger.scalars(iteration, {
-                    "train/iter_wall_seconds": iter_wall,
+                    "train/iter_wall_seconds": mean_wall,
                     "train/loss": vals["loss"],
                     "train/l1 loss": vals["l1"],
                     "train/ssim loss": vals["ssim_loss"],
