@@ -307,3 +307,72 @@ def test_key_overflow_path_is_finite_and_reported():
     gp, gf, stats = vjp_fn(jnp.ones((16, 16, 3)))
     assert np.isfinite(np.asarray(gp)).all()
     assert np.isfinite(np.asarray(gf)).all()
+
+
+@pytest.mark.parametrize("overflowing", [False, True])
+def test_gradient_routing_matches_numpy_segment_sums(overflowing):
+    """The sort+shift-add routing (ops/rasterizer._blend_bwd_explicit) must
+    reduce per-key gradients to per-point sums EXACTLY - both on the
+    no-overflow cumsum path and on the searchsorted fallback that handles
+    dropped keys (pool or max_keys overflow)."""
+    from taichi_3d_gaussian_splatting_tpu.ops import blend_pallas as BP
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        TileGrid, _BlendBinning, _blend_bwd_explicit, _blend_fwd_explicit,
+        _image_to_tiles, _project_and_bin)
+
+    cam = make_camera(32, 32)
+    pc, feats = random_scene(120, seed=21, alpha=1.5)
+    if overflowing:
+        # one-entry pools: most multi-tile points get dropped
+        cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0,
+                               max_tiles_per_point=8, max_keys=256,
+                               mid_point_divisor=10 ** 6,
+                               big_point_divisor=10 ** 6)
+    else:
+        cfg = RasterizerConfig(near_plane=0.1, far_plane=100.0,
+                               max_tiles_per_point=16,
+                               mid_point_divisor=1, big_point_divisor=1)
+    n = pc.shape[0]
+    obj = jnp.zeros((n,), jnp.int32)
+    inv = jnp.zeros((n,), jnp.int8)
+    q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    t_cam = jnp.zeros((1, 3))
+    attrs, cols, depth, binning = _project_and_bin(
+        jnp.array(pc), jnp.array(feats), inv, obj, q_cam, t_cam, cam, cfg,
+        None)
+    dropped = int(binning.big_point_overflow) + int(binning.key_overflow)
+    assert (dropped > 0) == overflowing
+
+    grid = TileGrid.from_camera(cam)
+    bb = _BlendBinning(
+        binning.point_data, binning.sorted_point_idx, binning.sorted_valid,
+        binning.tile_starts, binning.tile_ends, binning.point_kept_keys,
+        (binning.big_point_overflow + binning.key_overflow) > 0)
+    point_data, tile_out = _blend_fwd_explicit(bb, grid, cfg.chunk)
+    rng = np.random.default_rng(5)
+    g_image = jnp.array(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    cotangents, stats = _blend_bwd_explicit(
+        point_data, tile_out, g_image, bb, grid, n,
+        cfg.max_tiles_per_point, cfg.chunk)
+
+    # independent oracle: per-key gradients from the kernel, reduced with
+    # plain numpy indexing by owning point id
+    g_tiles = _image_to_tiles(g_image, grid)
+    pixel_in = jnp.concatenate(
+        [g_tiles, tile_out[:, 0:3, :], jnp.zeros_like(g_tiles[:, 0:2, :])],
+        axis=1)
+    grad_data, _ = BP.blend_backward(
+        point_data, binning.tile_starts, binning.tile_ends, pixel_in,
+        num_tiles=grid.num_tiles, tiles_per_row=grid.tiles_per_row,
+        chunk=cfg.chunk)
+    gd = np.asarray(grad_data)
+    idx = np.asarray(binning.sorted_point_idx)
+    valid = np.asarray(binning.sorted_valid)
+    rows = (BP.GROW_DU, BP.GROW_DV, BP.GROW_DA, BP.GROW_DB, BP.GROW_DC,
+            BP.GROW_DLOGW, BP.GROW_DR, BP.GROW_DG, BP.GROW_DB_COL)
+    for got, row in zip(cotangents, rows):
+        expected = np.zeros((n,), np.float64)
+        np.add.at(expected, idx[valid], gd[row][valid].astype(np.float64))
+        np.testing.assert_allclose(np.asarray(got), expected,
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"GROW row {row}")
