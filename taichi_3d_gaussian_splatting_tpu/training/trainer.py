@@ -296,6 +296,47 @@ class GaussianPointCloudTrainer:
         self._step_fns[key] = step
         return step
 
+    def _get_cached_batch_step_fn(self, camera_info: CameraInfo,
+                                  num_views: int):
+        """Device-cached variant of the data-parallel batch step: batch
+        selection, iteration counter, and SH-band curriculum run inside the
+        jit (same zero-transfer rationale as _get_cached_step_fn). Views are
+        drawn from a device-side epoch permutation; with batch_size >
+        num_views indices wrap within the current permutation."""
+        key = (camera_info.camera_height, camera_info.camera_width,
+               num_views, "dp-cached")
+        if key in self._step_fns:
+            return self._step_fns[key]
+        dp_step = self._get_batch_step_fn(camera_info)
+        band_interval = self.config.increase_color_max_sh_band_interval
+        batch = self.config.batch_size
+
+        @jax.jit
+        def cached_batch_step(scene, opt_feat, opt_pos, ctrl_state,
+                              data_state, images, qs, ts, intrs):
+            iteration, perm, pos, prng = data_state
+
+            def reshuffle(args):
+                perm, prng, pos = args
+                prng, sub = jax.random.split(prng)
+                return (jax.random.permutation(
+                    sub, jnp.arange(num_views, dtype=jnp.int32)),
+                    prng, jnp.int32(0))
+
+            perm, prng, pos = jax.lax.cond(
+                pos >= num_views, reshuffle, lambda a: a, (perm, prng, pos))
+            idxs = perm[(pos + jnp.arange(batch, dtype=jnp.int32))
+                        % num_views]
+            sh_band = iteration // band_interval
+            out = dp_step(scene, opt_feat, opt_pos, ctrl_state,
+                          images[idxs], qs[idxs], ts[idxs], intrs[idxs],
+                          sh_band)
+            new_state = (iteration + 1, perm, pos + batch, prng)
+            return out + (new_state,)
+
+        self._step_fns[key] = cached_batch_step
+        return cached_batch_step
+
     def _get_step_fn(self, camera_info: CameraInfo):
         key = (camera_info.camera_height, camera_info.camera_width)
         if key in self._step_fns:
@@ -484,8 +525,6 @@ class GaussianPointCloudTrainer:
             data_iter = iter(loader)
         device_cache = None
         cache_factor = -1
-        cache_rng = np.random.default_rng(config.seed)
-        cache_order = []
         downsample_factor = config.initial_downsample_factor
         recent_losses = collections.deque(maxlen=100)
         pending_metrics = []
@@ -527,7 +566,6 @@ class GaussianPointCloudTrainer:
             if use_cache and cache_factor != downsample_factor:
                 device_cache = self._build_device_cache(downsample_factor)
                 cache_factor = downsample_factor
-                cache_order = []
                 if device_cache is not None:
                     v = device_cache[1].shape[0]
                     self.key, sub = jax.random.split(self.key)
@@ -542,24 +580,17 @@ class GaussianPointCloudTrainer:
                                             num_workers=4, seed=config.seed)
                     data_iter = iter(loader)
 
-            def next_cache_indices(k):
-                nonlocal cache_order
-                out = []
-                for _ in range(k):
-                    if not cache_order:
-                        cache_order = list(cache_rng.permutation(
-                            device_cache[1].shape[0]))
-                    out.append(int(cache_order.pop()))
-                return out
-
             if config.batch_size > 1:
                 if device_cache is not None:
                     cam, images_d, qs_d, ts_d, intrs_d = device_cache
-                    idxs = jnp.asarray(
-                        next_cache_indices(config.batch_size), jnp.int32)
-                    batch_in = (images_d[idxs], qs_d[idxs], ts_d[idxs],
-                                intrs_d[idxs])
-                    gt_image_host = None
+                    step = self._get_cached_batch_step_fn(
+                        cam, images_d.shape[0])
+                    (self.scene, self.opt_state_features,
+                     self.opt_state_positions, self.ctrl_state, metrics,
+                     densify_inputs, self._data_state) = step(
+                        self.scene, self.opt_state_features,
+                        self.opt_state_positions, self.ctrl_state,
+                        self._data_state, images_d, qs_d, ts_d, intrs_d)
                 else:
                     items = [_downsample_item(next(data_iter),
                                               downsample_factor)
@@ -582,14 +613,14 @@ class GaussianPointCloudTrainer:
                         jnp.stack([jnp.asarray(
                             i.camera_info.camera_intrinsics, jnp.float32)
                             for i in items]))
-                    gt_image_host = None
-                step = self._get_batch_step_fn(cam)
-                (self.scene, self.opt_state_features,
-                 self.opt_state_positions, self.ctrl_state, metrics,
-                 densify_inputs) = step(
-                    self.scene, self.opt_state_features,
-                    self.opt_state_positions, self.ctrl_state,
-                    *batch_in, jnp.int32(sh_band))
+                    step = self._get_batch_step_fn(cam)
+                    (self.scene, self.opt_state_features,
+                     self.opt_state_positions, self.ctrl_state, metrics,
+                     densify_inputs) = step(
+                        self.scene, self.opt_state_features,
+                        self.opt_state_positions, self.ctrl_state,
+                        *batch_in, jnp.int32(sh_band))
+                gt_image_host = None
                 valid_count_map = depth_map = pred_image = None
             elif device_cache is not None:
                 # ONE dispatch, ZERO transfers per iteration: view choice,
