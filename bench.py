@@ -56,17 +56,15 @@ def main():
     from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
         RasterizerConfig, rasterize)
 
+    from taichi_3d_gaussian_splatting_tpu.ops.capacity import (
+        auto_capacity_config)
+
     h, w = 544, 976  # reference render resolution cropped to tile multiples
     intr = np.array([[581.7, 0, w / 2], [0, 581.7, h / 2], [0, 0, 1]],
                     np.float32)
     cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
-    # capacity knobs sized to the measured workload (~640k keys) with >50%
-    # headroom; training uses the larger defaults
     cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
                            max_tiles_per_point=32,
-                           big_point_divisor=32,
-                           mid_point_divisor=4,
-                           max_keys=720_896,
                            rgb_only=True)
 
     pc, feats = load_scene()
@@ -75,6 +73,11 @@ def main():
     obj = jnp.zeros((n,), jnp.int32)
     q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
     t_cam = jnp.zeros((1, 3))
+    # capacity budgets derived from the scene itself (one cheap projection
+    # probe of the benchmark view + 50% headroom), NOT hand-tuned to the
+    # workload; the dropped-work guard below still verifies
+    cfg = auto_capacity_config(pc, feats, invalid, obj,
+                               [(q_cam, t_cam)], cam, cfg, headroom=1.5)
 
     # chained timing: each call's input depends on the previous call's
     # output, so host-side dispatch through the axon tunnel cannot pipeline
@@ -84,14 +87,20 @@ def main():
         img = rasterize(p, f, invalid, obj, q_cam, t_cam, cam, cfg).image
         return p + img[0, 0, 0] * 0, img
 
-    # guard: the FPS number must not come from dropped work
+    # guard: the FPS number must not come from dropped work - ANY kind:
+    # keys past max_keys, points past the pools, or tiles past the per-point
+    # cap (the trainer's guard checks all three too, training/trainer.py)
     import sys
     probe = rasterize(pc, feats, invalid, obj, q_cam, t_cam, cam, cfg)
-    dropped = int(probe.aux.key_overflow) + int(probe.aux.big_point_overflow)
+    dropped = (int(probe.aux.key_overflow) + int(probe.aux.big_point_overflow)
+               + int(probe.aux.tile_cap_overflow))
     if dropped > 0:
-        print(f"WARNING: {dropped} keys/points dropped by capacity budgets; "
-              f"raise max_keys/big_point_divisor", file=sys.stderr,
-              flush=True)
+        print(f"WARNING: {dropped} keys/points/tiles dropped by capacity "
+              f"budgets (key_overflow={int(probe.aux.key_overflow)}, "
+              f"big_point_overflow={int(probe.aux.big_point_overflow)}, "
+              f"tile_cap_overflow={int(probe.aux.tile_cap_overflow)}); "
+              f"raise max_keys/max_tiles_per_point or lower the divisors",
+              file=sys.stderr, flush=True)
     # warmup (compile + cache)
     p, img = fwd(pc, feats)
     img.block_until_ready()
@@ -115,11 +124,16 @@ def main():
     }
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
-            ms = measure_train_step(pc, feats, cam)
+            ms, densify_ms = measure_train_step(pc, feats, cam)
             # reference training wall-clock: 2-3 h for 30k iterations on a
-            # T4 (reference: README.md:276) = 240-360 ms per iteration
+            # T4 (reference: README.md:276) = 240-360 ms per iteration.
+            # densify runs every 100 steps (reference controller default),
+            # so the amortized step adds densify_ms / 100
             record["train_step_ms"] = round(ms, 2)
-            record["train_iters_per_sec"] = round(1000.0 / ms, 2)
+            record["densify_ms"] = round(densify_ms, 2)
+            amortized = ms + densify_ms / 100.0
+            record["train_step_amortized_ms"] = round(amortized, 2)
+            record["train_iters_per_sec"] = round(1000.0 / amortized, 2)
         except Exception as exc:  # keep the headline metric alive
             print(f"WARNING: train-step benchmark failed: {exc}",
                   file=sys.stderr)
@@ -141,16 +155,20 @@ def measure_train_step(pc, feats, cam):
     from taichi_3d_gaussian_splatting_tpu.training.controller import (
         ControllerState, update_stats)
 
+    from taichi_3d_gaussian_splatting_tpu.ops.capacity import (
+        auto_capacity_config)
+
     n = pc.shape[0]
     cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
-                           max_tiles_per_point=32,
-                           big_point_divisor=16,
-                           mid_point_divisor=4,
-                           max_keys=786_432)
+                           max_tiles_per_point=32)
     invalid = jnp.zeros((n,), jnp.int8)
     obj = jnp.zeros((n,), jnp.int32)
     q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
     t_cam = jnp.zeros((1, 3))
+    # training budgets: scene-derived with a 2x headroom (densification can
+    # grow the workload mid-run; the trainer's overflow guard watches it)
+    cfg = auto_capacity_config(pc, feats, invalid, obj,
+                               [(q_cam, t_cam)], cam, cfg, headroom=2.0)
     h, w = cam.camera_height, cam.camera_width
     gt = jnp.array(np.random.default_rng(1).uniform(0, 1, (h, w, 3)),
                    jnp.float32)
@@ -195,7 +213,40 @@ def measure_train_step(pc, feats, cam):
         out = step(*state)
         state = out[:5]
     out[5].block_until_ready()
-    return (time.perf_counter() - t0) / reps * 1e3
+    step_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    # densify cadence cost (runs every num_iterations_densify=100 steps in
+    # the reference protocol): measured chained and amortized into the step
+    from taichi_3d_gaussian_splatting_tpu.models.scene import (
+        GaussianPointCloudScene)
+    from taichi_3d_gaussian_splatting_tpu.training.controller import (
+        AdaptiveControllerConfig, densify_step)
+    ctrl_cfg = AdaptiveControllerConfig()
+    scene = GaussianPointCloudScene(
+        point_cloud=state[0], point_cloud_features=state[1],
+        point_invalid_mask=invalid, point_object_id=obj)
+    result, vjp_fn = rasterize_with_vjp(
+        scene.point_cloud, scene.point_cloud_features, invalid, obj,
+        q_cam, t_cam, cam, cfg)
+    _, _, stats = vjp_fn(jnp.ones_like(result.image))
+
+    @jax.jit
+    def densify(scene, ctrl, key, it):
+        return densify_step(scene, ctrl, stats, result.aux.in_frustum,
+                            result.aux.point_depth, scene.point_cloud,
+                            it, key, ctrl_cfg)
+
+    key = jax.random.PRNGKey(0)
+    ctrl = state[4]
+    sc, ctrl2, counts = densify(scene, ctrl, key, jnp.int32(100))
+    sc.point_cloud.block_until_ready()
+    dreps = 10
+    t0 = time.perf_counter()
+    for i in range(dreps):
+        sc, _, counts = densify(sc, ctrl, key, jnp.int32(100 + i))
+    sc.point_cloud.block_until_ready()
+    densify_ms = (time.perf_counter() - t0) / dreps * 1e3
+    return step_ms, densify_ms
 
 
 if __name__ == "__main__":

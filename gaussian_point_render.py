@@ -95,8 +95,15 @@ def main():
     parser.add_argument("--height", type=int, default=544)
     parser.add_argument("--fx", type=float, default=581.743)
     parser.add_argument("--fy", type=float, default=581.743)
+    parser.add_argument("--portrait_mode", action="store_true", default=False)
     args = parser.parse_args()
 
+    if args.portrait_mode:
+        # swap to 544x976 with doubled focal length
+        # (reference: gaussian_point_render.py:32-37,145-146)
+        args.width, args.height = args.height, args.width
+        args.fx *= 2.0
+        args.fy *= 2.0
     config = RenderConfig(parquet_path_list=args.parquet_path,
                           trajectory_path=args.trajectory_path,
                           dataset_json_path=args.dataset_json_path,
@@ -113,8 +120,19 @@ def main():
                           [0, 0, 1]], np.float32)
     cam = CameraInfo(camera_intrinsics=base_intr, camera_height=h,
                      camera_width=w)
-    raster_cfg = RasterizerConfig(rgb_only=True, max_keys=2 ** 21,
-                                  max_tiles_per_point=64)
+    # capacity budgets derived from the scene: probe up to 8 evenly-spaced
+    # trajectory poses (projection-only, cheap) and size the tiers with 50%
+    # headroom instead of hard-coding max_keys (ops/capacity.py)
+    from taichi_3d_gaussian_splatting_tpu.ops.capacity import (
+        auto_capacity_config)
+    raster_cfg = RasterizerConfig(rgb_only=True, max_tiles_per_point=64)
+    probe_views = []
+    for pose in poses[::max(len(poses) // 8, 1)][:8]:
+        q, t = SE3_to_quaternion_and_translation(jnp.asarray(pose)[None])
+        probe_views.append((jnp.tile(q[0:1], (num_objects, 1)),
+                            jnp.tile(t[0:1], (num_objects, 1))))
+    raster_cfg = auto_capacity_config(pc, feats, invalid, obj, probe_views,
+                                      cam, raster_cfg, headroom=1.5)
 
     @jax.jit
     def render_one(q, t, intr):

@@ -46,13 +46,15 @@ def _coerce(field_type: Any, value: Any) -> Any:
                     if a is not type(None)]
         if len(non_none) == 1:
             scalar_target = non_none[0]
-    if (isinstance(value, (list, tuple)) and len(value) <= 1
+    if (isinstance(value, (list, tuple)) and len(value) == 1
             and scalar_target in (float, int, bool, str, type(None))):
         # `!!python/tuple [null]` style singleton wrapping (reference's
         # config_template.yaml) collapses to its element - but ONLY onto
         # (optionally Optional) scalar fields, so a future List[...] / Any
-        # field can never have a legitimate [x] silently become x
-        value = value[0] if value else None
+        # field can never have a legitimate [x] silently become x. An empty
+        # [] deliberately falls through so a malformed `field: []` raises on
+        # non-Optional scalar fields instead of silently becoming None
+        value = value[0]
     if origin is typing.Union:  # Optional[...]
         args = [a for a in typing.get_args(field_type) if a is not type(None)]
         if value is None:

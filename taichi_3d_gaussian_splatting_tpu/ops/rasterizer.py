@@ -195,8 +195,12 @@ def _blend_bwd_explicit(point_data, tile_out, g_image, binning, grid: TileGrid,
     id_key = jnp.where(binning.sorted_valid, binning.sorted_point_idx,
                        INT32_MAX)
     # unstable: ties (multiple keys of one point) only permute rows within
-    # a segment, which the segment sum is invariant to, and a stable TPU
-    # sort would pay for a hidden iota tiebreaker operand
+    # a segment, which the segment sum is invariant to UP TO f32
+    # reassociation - per-point gradients are backend/compile-dependent at
+    # the ULP level (the reference's atomic adds have the same property;
+    # exactness tests use tolerances that absorb this). A stable TPU sort
+    # would pay for a hidden iota tiebreaker operand; add a cheap secondary
+    # key here if bit-reproducibility is ever needed
     sorted_rows = jax.lax.sort(
         (id_key, *(grad_data[i] for i in live_rows)),
         num_keys=1, is_stable=False)

@@ -81,11 +81,14 @@ def make_data_parallel_train_step(
       step(scene, opt_feat, opt_pos, ctrl_state,
            images (B,H,W,3), qs (B,1,4), ts (B,1,3), intrinsics (B,3,3),
            sh_band ())
-        -> (scene, opt_feat, opt_pos, ctrl_state, metrics, densify_inputs)
+        -> (scene, opt_feat, opt_pos, ctrl_state, metrics, densify_inputs,
+            last_view_maps)
     with B divisible by the mesh size. All views share the (static) image
     shape; intrinsics may differ per view. `densify_inputs` is the
     (stats, in_frustum, point_depth) triple of the LAST view in the batch,
-    directly consumable by `training.controller.densify_step`.
+    directly consumable by `training.controller.densify_step`;
+    `last_view_maps` = (pred (H,W,3), depth (H,W), valid_count (H,W)) of the
+    same view, for the trainer's image-panel logging.
     """
     from ..training.trainer import _grad_group_scale
     grad_scale = jnp.asarray(_grad_group_scale(raster_config))
@@ -122,11 +125,12 @@ def make_data_parallel_train_step(
             grad_pc, grad_feats_raster, stats = vjp_fn(g_image)
             # band curriculum masking + per-group scaling on the rasterizer
             # path only (reference: :1102-1125), exactly as single-chip
-            grad_feats = grad_feats_raster * band_mask + g_feats_direct
-            if apply_grad_scaling:
-                grad_feats = (grad_feats_raster * grad_scale * band_mask
-                              + g_feats_direct)
-            acc_pc, acc_feats, ctrl = carry
+            scale = grad_scale if apply_grad_scaling else 1.0
+            grad_feats = (grad_feats_raster * scale * band_mask
+                          + g_feats_direct)
+            acc_pc, acc_feats, ctrl, _maps = carry
+            maps = (img, result.depth,
+                    result.pixel_valid_point_count.astype(jnp.float32))
             ctrl = update_stats(ctrl, stats, grad_pc, result.aux.in_frustum)
             view_out = (loss, l1, ld_ssim, psnr_fn(img, image_gt),
                         result.aux.key_overflow,
@@ -138,11 +142,19 @@ def make_data_parallel_train_step(
                         stats.num_affected_pixels,
                         result.aux.in_frustum,
                         result.aux.point_depth)
-            return (acc_pc + grad_pc, acc_feats + grad_feats, ctrl), view_out
+            return (acc_pc + grad_pc, acc_feats + grad_feats, ctrl,
+                    maps), view_out
 
+        h, w = camera_info.camera_height, camera_info.camera_width
         init = (jnp.zeros_like(scene.point_cloud), jnp.zeros_like(feats),
-                ctrl_state)
-        (grad_pc, grad_feats, ctrl_local), ys = jax.lax.scan(
+                ctrl_state,
+                # last-view image panels (pred, depth, valid count): carried
+                # through the scan (overwritten per view) so only the final
+                # view's maps survive - no per-view stacking
+                (jnp.zeros((h, w, 3), jnp.float32),
+                 jnp.zeros((h, w), jnp.float32),
+                 jnp.zeros((h, w), jnp.float32)))
+        (grad_pc, grad_feats, ctrl_local, last_maps), ys = jax.lax.scan(
             view_grads, init, (images, qs, ts, intrinsics))
         (losses, l1s, ssims, psnrs, key_ovf, big_ovf, cap_ovf, tot_keys,
          gv, mag, npix, in_fr, pdepth) = ys
@@ -182,6 +194,12 @@ def make_data_parallel_train_step(
         )
         last_in_frustum = from_last_f(in_fr.astype(jnp.int8)) > 0
         last_depth = from_last_f(pdepth)
+        # last-view image panels (pred / depth / count), same masked-psum
+        # replication as the densify inputs: restores the observability the
+        # single-view step has (trainer logs [pred|gt|depth|count] panels)
+        pred_image, depth_map, count_map = (
+            jax.lax.psum(m * is_last.astype(m.dtype), axis_name)
+            for m in last_maps)
 
         updates_f, opt_feat = feature_optimizer.update(grad_feats, opt_feat,
                                                        feats)
@@ -201,7 +219,7 @@ def make_data_parallel_train_step(
         }
         densify_inputs = (last_stats, last_in_frustum, last_depth)
         return (scene, opt_feat, opt_pos, ctrl_state, metrics,
-                densify_inputs)
+                densify_inputs, (pred_image, depth_map, count_map))
 
     replicated = P()
     batched = P("data")
@@ -210,6 +228,6 @@ def make_data_parallel_train_step(
         in_specs=(replicated, replicated, replicated, replicated,
                   batched, batched, batched, batched, replicated),
         out_specs=(replicated, replicated, replicated, replicated,
-                   replicated, replicated),
+                   replicated, replicated, replicated),
         check_vma=False)
     return jax.jit(sharded)

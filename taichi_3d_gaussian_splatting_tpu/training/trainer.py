@@ -332,7 +332,7 @@ class GaussianPointCloudTrainer:
                           images[idxs], qs[idxs], ts[idxs], intrs[idxs],
                           sh_band)
             new_state = (iteration + 1, perm, pos + batch, prng)
-            return out + (new_state,)
+            return out + (new_state, idxs[-1])
 
         self._step_fns[key] = cached_batch_step
         return cached_batch_step
@@ -587,10 +587,13 @@ class GaussianPointCloudTrainer:
                         cam, images_d.shape[0])
                     (self.scene, self.opt_state_features,
                      self.opt_state_positions, self.ctrl_state, metrics,
-                     densify_inputs, self._data_state) = step(
+                     densify_inputs, last_maps, self._data_state,
+                     last_idx) = step(
                         self.scene, self.opt_state_features,
                         self.opt_state_positions, self.ctrl_state,
                         self._data_state, images_d, qs_d, ts_d, intrs_d)
+                    pred_image, depth_map, valid_count_map = last_maps
+                    gt_image_host = _LazyCacheImage(images_d, last_idx)
                 else:
                     items = [_downsample_item(next(data_iter),
                                               downsample_factor)
@@ -616,12 +619,12 @@ class GaussianPointCloudTrainer:
                     step = self._get_batch_step_fn(cam)
                     (self.scene, self.opt_state_features,
                      self.opt_state_positions, self.ctrl_state, metrics,
-                     densify_inputs) = step(
+                     densify_inputs, last_maps) = step(
                         self.scene, self.opt_state_features,
                         self.opt_state_positions, self.ctrl_state,
                         *batch_in, jnp.int32(sh_band))
-                gt_image_host = None
-                valid_count_map = depth_map = pred_image = None
+                    pred_image, depth_map, valid_count_map = last_maps
+                    gt_image_host = items[-1].image
             elif device_cache is not None:
                 # ONE dispatch, ZERO transfers per iteration: view choice,
                 # iteration counter, and SH-band curriculum run on device

@@ -63,13 +63,31 @@ def test_data_parallel_step_runs_and_matches_seq_grads():
     scene_r = replicate_scene(scene, mesh)
     # sh_band=3 -> the curriculum mask is all-ones, matching the raw
     # sequential gradients below
-    (scene2, _, _, ctrl2, metrics,
-     densify_inputs) = step(scene_r, opt_feat, opt_pos, ctrl,
-                            images, qs, ts, intrs, jnp.int32(3))
+    (scene2, _, _, ctrl2, metrics, densify_inputs,
+     last_maps) = step(scene_r, opt_feat, opt_pos, ctrl,
+                       images, qs, ts, intrs, jnp.int32(3))
     assert np.isfinite(float(metrics["loss"]))
     last_stats, last_in_frustum, last_depth = densify_inputs
     assert last_in_frustum.shape == (n,)
     assert last_depth.shape == (n,)
+    # last-view observability maps (pred/depth/count) are replicated and
+    # match an independent single-view render of the batch's last view
+    pred, depth_map, count_map = last_maps
+    assert pred.shape == (h, w, 3)
+    assert depth_map.shape == (h, w)
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import rasterize
+    feats_chk = np.asarray(scene.point_cloud_features).copy()
+    feats_chk[:, 0:4] /= np.linalg.norm(feats_chk[:, 0:4], axis=1,
+                                        keepdims=True)
+    res_last = rasterize(scene.point_cloud, jnp.array(feats_chk),
+                         scene.point_invalid_mask, scene.point_object_id,
+                         qs[-1], ts[-1], cam, cfg)
+    np.testing.assert_allclose(
+        np.asarray(pred), np.clip(np.asarray(res_last.image), 0.0, 1.0),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(count_map).astype(np.int32),
+        np.asarray(res_last.pixel_valid_point_count))
 
     # sequential reference: same views through the single-device vjp,
     # gradients summed
