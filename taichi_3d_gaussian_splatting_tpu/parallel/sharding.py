@@ -85,8 +85,8 @@ def make_data_parallel_train_step(
             last_view_maps)
     with B divisible by the mesh size. All views share the (static) image
     shape; intrinsics may differ per view. `densify_inputs` is the
-    (stats, in_frustum, point_depth) triple of the LAST view in the batch,
-    directly consumable by `training.controller.densify_step`;
+    (stats, in_frustum, point_depth, point_uv) tuple of the LAST view in the
+    batch, directly consumable by `training.controller.densify_step`;
     `last_view_maps` = (pred (H,W,3), depth (H,W), valid_count (H,W)) of the
     same view, for the trainer's image-panel logging.
     """
@@ -98,8 +98,10 @@ def make_data_parallel_train_step(
                     intrinsics, sh_band):
         # local shard: (B_local, H, W, 3)
         feats = scene.point_cloud_features
-        qn = feats[:, 0:4] / jnp.linalg.norm(feats[:, 0:4], axis=1,
-                                             keepdims=True)
+        # floored norm: all-zero padding slots stay 0 instead of NaN
+        # (see training/trainer.py)
+        qn = feats[:, 0:4] / jnp.maximum(
+            jnp.linalg.norm(feats[:, 0:4], axis=1, keepdims=True), 1e-12)
         feats = feats.at[:, 0:4].set(qn)
         scene = scene._replace(point_cloud_features=feats)
         band_mask = feature_sh_band_mask(sh_band)
@@ -141,7 +143,8 @@ def make_data_parallel_train_step(
                         stats.magnitude_grad_viewspace,
                         stats.num_affected_pixels,
                         result.aux.in_frustum,
-                        result.aux.point_depth)
+                        result.aux.point_depth,
+                        result.aux.point_uv)
             return (acc_pc + grad_pc, acc_feats + grad_feats, ctrl,
                     maps), view_out
 
@@ -157,7 +160,7 @@ def make_data_parallel_train_step(
         (grad_pc, grad_feats, ctrl_local, last_maps), ys = jax.lax.scan(
             view_grads, init, (images, qs, ts, intrinsics))
         (losses, l1s, ssims, psnrs, key_ovf, big_ovf, cap_ovf, tot_keys,
-         gv, mag, npix, in_fr, pdepth) = ys
+         gv, mag, npix, in_fr, pdepth, puv) = ys
 
         # combine across chips: the collectives ride ICI
         grad_pc = jax.lax.psum(grad_pc, axis_name)
@@ -194,6 +197,7 @@ def make_data_parallel_train_step(
         )
         last_in_frustum = from_last_f(in_fr.astype(jnp.int8)) > 0
         last_depth = from_last_f(pdepth)
+        last_uv = from_last_f(puv)
         # last-view image panels (pred / depth / count), same masked-psum
         # replication as the densify inputs: restores the observability the
         # single-view step has (trainer logs [pred|gt|depth|count] panels)
@@ -217,7 +221,7 @@ def make_data_parallel_train_step(
             "tile_cap_overflow": jax.lax.psum(jnp.sum(cap_ovf), axis_name),
             "total_keys": jax.lax.psum(jnp.sum(tot_keys), axis_name),
         }
-        densify_inputs = (last_stats, last_in_frustum, last_depth)
+        densify_inputs = (last_stats, last_in_frustum, last_depth, last_uv)
         return (scene, opt_feat, opt_pos, ctrl_state, metrics,
                 densify_inputs, (pred_image, depth_map, count_map))
 

@@ -77,13 +77,18 @@ class ControllerState(NamedTuple):
 
 
 class DensifyCounts(NamedTuple):
-    """What the reference prints per densify (reference: :226,245,319,351)."""
+    """What the reference prints per densify (reference: :226,245,319,351),
+    plus the per-point masks its debug scatter plots (reference: :267-283);
+    the trainer renders them at `plot_densify_interval` cadence."""
     num_transparent: jnp.ndarray
     num_floaters: jnp.ndarray
     num_candidates: jnp.ndarray
     num_fillable: jnp.ndarray
     num_over_reconstructed: jnp.ndarray
     num_valid_after: jnp.ndarray
+    floater_mask: jnp.ndarray = None            # (N,) bool
+    over_reconstructed_mask: jnp.ndarray = None  # (N,) bool (densify & over)
+    under_reconstructed_mask: jnp.ndarray = None  # (N,) bool
 
 
 def update_stats(state: ControllerState, stats: BackwardStats,
@@ -266,6 +271,9 @@ def densify_step(
         num_fillable=jnp.sum(filled.astype(jnp.int32)),
         num_over_reconstructed=jnp.sum(split_dst.astype(jnp.int32)),
         num_valid_after=jnp.sum((invalid == 0).astype(jnp.int32)),
+        floater_mask=floater_mask,
+        over_reconstructed_mask=densify_mask & over_reconstructed,
+        under_reconstructed_mask=densify_mask & (~over_reconstructed),
     )
 
     new_scene = GaussianPointCloudScene(

@@ -405,9 +405,12 @@ class GaussianPointCloudTrainer:
             cam = dataclasses.replace(camera_info,
                                       camera_intrinsics=intrinsics)
             feats = scene.point_cloud_features
-            # quaternion re-normalization (reference side effect, :264)
-            qnorm = feats[:, 0:4] / jnp.linalg.norm(
-                feats[:, 0:4], axis=1, keepdims=True)
+            # quaternion re-normalization (reference side effect, :264);
+            # the norm is floored so all-zero padding slots stay 0 instead
+            # of becoming 0/0=NaN (see ops/projection.py
+            # normalize_straight_through_columns)
+            qnorm = feats[:, 0:4] / jnp.maximum(jnp.linalg.norm(
+                feats[:, 0:4], axis=1, keepdims=True), 1e-12)
             feats = feats.at[:, 0:4].set(qnorm)
             scene = scene._replace(point_cloud_features=feats)
 
@@ -458,7 +461,7 @@ class GaussianPointCloudTrainer:
                 "total_keys": result.aux.total_keys,
             }
             densify_inputs = (stats, result.aux.in_frustum,
-                              result.aux.point_depth)
+                              result.aux.point_depth, result.aux.point_uv)
             return (new_scene, opt_feat, opt_pos, ctrl_state, metrics,
                     densify_inputs, result.pixel_valid_point_count,
                     result.depth, img)
@@ -660,13 +663,17 @@ class GaussianPointCloudTrainer:
             densified = False
             if (iteration >= ctrl_cfg.num_iterations_warm_up
                     and iteration % ctrl_cfg.num_iterations_densify == 0):
-                stats, in_frustum, depth_pts = densify_inputs
+                stats, in_frustum, depth_pts, point_uv = densify_inputs
                 self.key, subkey = jax.random.split(self.key)
                 self.scene, self.ctrl_state, counts = self._get_densify_fn()(
                     self.scene, self.ctrl_state, stats, in_frustum,
                     depth_pts, pos_before, jnp.int32(iteration), subkey)
                 densified = True
                 self._log_histograms(iteration, stats)
+                if (self.logger.tb is not None
+                        and iteration % ctrl_cfg.plot_densify_interval == 0):
+                    self._log_densify_scatter(iteration, point_uv, counts,
+                                              cam)
                 self.logger.scalars(iteration, {
                     "densify/num_transparent": counts.num_transparent,
                     "densify/num_floaters": counts.num_floaters,
@@ -819,6 +826,20 @@ class GaussianPointCloudTrainer:
                     f"{self._overflow_strikes} consecutive checks: {msg}")
         else:
             self._overflow_strikes = 0
+
+    def _log_densify_scatter(self, iteration: int, point_uv, counts, cam):
+        """Floater / over- / under-reconstructed scatter in image space at
+        `plot_densify_interval` cadence (reference:
+        GaussianPointAdaptiveController.py:267-283)."""
+        from ..utils.visualization import densify_scatter_figure
+        img = densify_scatter_figure(
+            np.asarray(point_uv),
+            np.asarray(counts.floater_mask),
+            np.asarray(counts.over_reconstructed_mask),
+            np.asarray(counts.under_reconstructed_mask),
+            cam.camera_height, cam.camera_width)
+        if img is not None:
+            self.logger.image(iteration, "densify/scatter", img)
 
     def _log_histograms(self, iteration: int, stats):
         """Gradient-group and value-group histograms at densify cadence

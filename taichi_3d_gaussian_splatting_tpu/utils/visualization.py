@@ -45,3 +45,35 @@ def make_image_grid(images, nrow: int = 2, pad: int = 2,
         x = pad + c * (w + pad)
         grid[y:y + im.shape[0], x:x + im.shape[1]] = im
     return grid
+
+
+def densify_scatter_figure(point_uv: np.ndarray, floater_mask: np.ndarray,
+                           over_mask: np.ndarray, under_mask: np.ndarray,
+                           height: int, width: int):
+    """Floater (blue) / over-reconstructed (red) / under-reconstructed
+    (green) scatter in image space - the reference's densification debug
+    figure (reference: GaussianPointAdaptiveController.py:267-283).
+    Returns an (H, W, 3) float image in [0, 1], or None if matplotlib is
+    unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 6 * height / max(width, 1)), dpi=100)
+    for mask, color, label, zorder in (
+            (floater_mask, "b", "floater", 2),
+            (over_mask, "r", "over_reconstructed", 3),
+            (under_mask, "g", "under_reconstructed", 4)):
+        uv = point_uv[np.asarray(mask, bool)]
+        ax.scatter(uv[:, 0], uv[:, 1], s=1, c=color, label=label,
+                   zorder=zorder)
+    ax.legend(loc="upper right", fontsize=7)
+    ax.set_xlim([0, width])
+    ax.set_ylim([height, 0])
+    fig.tight_layout()
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[:, :, :3] / 255.0
+    plt.close(fig)
+    return img.astype(np.float32)

@@ -67,9 +67,10 @@ def test_data_parallel_step_runs_and_matches_seq_grads():
      last_maps) = step(scene_r, opt_feat, opt_pos, ctrl,
                        images, qs, ts, intrs, jnp.int32(3))
     assert np.isfinite(float(metrics["loss"]))
-    last_stats, last_in_frustum, last_depth = densify_inputs
+    last_stats, last_in_frustum, last_depth, last_uv = densify_inputs
     assert last_in_frustum.shape == (n,)
     assert last_depth.shape == (n,)
+    assert last_uv.shape == (n, 2)
     # last-view observability maps (pred/depth/count) are replicated and
     # match an independent single-view render of the batch's last view
     pred, depth_map, count_map = last_maps

@@ -232,3 +232,23 @@ def test_ssim_bounded_on_large_images():
     const = jnp.full((272, 480, 3), 0.9)
     v2 = float(ssim(const, jnp.clip(const + 0.001, 0, 1)))
     assert -1.0 <= v2 <= 1.0 + 1e-3, v2
+
+
+def test_densify_scatter_figure():
+    """The densification debug scatter (reference:
+    GaussianPointAdaptiveController.py:267-283) renders from the masks
+    densify_step now returns."""
+    import numpy as np
+    from taichi_3d_gaussian_splatting_tpu.utils.visualization import (
+        densify_scatter_figure)
+    rng = np.random.default_rng(0)
+    n = 50
+    uv = rng.uniform(0, 64, (n, 2)).astype(np.float32)
+    floater = rng.random(n) < 0.1
+    over = (rng.random(n) < 0.2) & ~floater
+    under = (rng.random(n) < 0.2) & ~floater & ~over
+    img = densify_scatter_figure(uv, floater, over, under, 64, 64)
+    assert img is not None
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert np.isfinite(img).all()
+    assert 0.0 <= img.min() and img.max() <= 1.0

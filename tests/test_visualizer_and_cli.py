@@ -80,6 +80,21 @@ def test_visualizer_state_controls(tmp_path):
     # out-of-range object selection is rejected
     assert "no object" in state.handle_key("7")
 
+    # mouse-drag rotates the selected target (object 1 still selected);
+    # a pure-x drag yaws like ArrowRight, quaternions stay normalized
+    q_before = state.qs.copy()
+    msg = state.handle_drag(40.0, 0.0)
+    assert "object 1" in msg
+    assert np.allclose(state.qs[0], q_before[0])
+    assert not np.allclose(state.qs[1], q_before[1])
+    np.testing.assert_allclose(np.linalg.norm(state.qs, axis=1), 1.0,
+                               atol=1e-5)
+    # back to camera: drag moves every object pose (camera = all targets)
+    state.handle_key("`")
+    q_before = state.qs.copy()
+    assert "camera" in state.handle_drag(0.0, -25.0)
+    assert not np.allclose(state.qs, q_before)
+
 
 def test_render_cli_pose_loading(tmp_path):
     import gaussian_point_render as gpr

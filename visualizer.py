@@ -11,7 +11,8 @@ visualizer.py:105-288):
   move *that object* instead of the camera (implemented, like the reference,
   by moving that object's camera pose - exploiting the per-object poses of
   the rasterizer)
-- W/A/S/D/Q/E translate, arrow keys (or IJKL) rotate
+- W/A/S/D/Q/E translate, arrow keys (or IJKL) rotate, mouse-drag on the
+  view rotates too (reference: visualizer.py:207-214)
 - H hides the selected object, P shows it (invalid-mask based)
 - [ / ] shrink / grow the selected object (per-object scale editing via the
   rasterizer's object_edit transform - the reference defines this projection
@@ -35,7 +36,7 @@ PAGE = """<!DOCTYPE html>
 <style>body{background:#111;color:#ccc;font-family:monospace;text-align:center}
 img{image-rendering:pixelated;border:1px solid #444;margin-top:8px}</style>
 </head><body>
-<div>W/A/S/D/Q/E move &middot; arrows rotate &middot; 0-9 select object
+<div>W/A/S/D/Q/E move &middot; arrows/drag rotate &middot; 0-9 select object
  &middot; ` camera &middot; H hide &middot; P show &middot; [ ] scale
  &middot; R reset</div>
 <div id="status"></div>
@@ -52,6 +53,24 @@ async function refresh() {
 document.addEventListener('keydown', async (e) => {
   const resp = await fetch('/key?k=' + encodeURIComponent(e.key));
   document.getElementById('status').textContent = await resp.text();
+  refresh();
+});
+// mouse-drag rotation on the view (reference: visualizer.py:207-214)
+const view = document.getElementById('view');
+let dragging = false, lastX = 0, lastY = 0, pending = false;
+view.addEventListener('mousedown', (e) => {
+  dragging = true; lastX = e.clientX; lastY = e.clientY;
+  e.preventDefault();
+});
+document.addEventListener('mouseup', () => { dragging = false; });
+document.addEventListener('mousemove', async (e) => {
+  if (!dragging || pending) return;
+  const dx = e.clientX - lastX, dy = e.clientY - lastY;
+  if (dx === 0 && dy === 0) return;
+  lastX = e.clientX; lastY = e.clientY; pending = true;
+  const resp = await fetch('/drag?dx=' + dx + '&dy=' + dy);
+  document.getElementById('status').textContent = await resp.text();
+  pending = false;
   refresh();
 });
 refresh();
@@ -156,19 +175,40 @@ class VisualizerState:
                 return f"move {key}"
             if key in rots:
                 rx, ry, _ = rots[key]
-                half = np.array([rx / 2, ry / 2, 0.0])
-                dq = np.array([half[0], half[1], 0.0,
-                               np.sqrt(max(0.0, 1 - half @ half))],
-                              np.float32) * (1.0 if sign > 0 else
-                                             np.array([-1, -1, -1, 1],
-                                                      np.float32))
-                for i in targets:
-                    q = np.asarray(T.quaternion_multiply(
-                        jnp.asarray(self.qs[i])[None],
-                        jnp.asarray(dq)[None]))[0]
-                    self.qs[i] = q / np.linalg.norm(q)
+                self._apply_rotation(rx, ry, targets, sign)
                 return f"rotate {key}"
         return f"ignored {key}"
+
+    def _apply_rotation(self, rx: float, ry: float, targets, sign: float):
+        """Small-angle rotation of the camera (or selected object's camera
+        pose) - shared by arrow keys and mouse drag. Caller holds the lock."""
+        from taichi_3d_gaussian_splatting_tpu.ops import transforms as T
+        import jax.numpy as jnp
+        half = np.array([rx / 2, ry / 2, 0.0])
+        dq = np.array([half[0], half[1], 0.0,
+                       np.sqrt(max(0.0, 1 - half @ half))],
+                      np.float32) * (1.0 if sign > 0 else
+                                     np.array([-1, -1, -1, 1], np.float32))
+        for i in targets:
+            q = np.asarray(T.quaternion_multiply(
+                jnp.asarray(self.qs[i])[None],
+                jnp.asarray(dq)[None]))[0]
+            self.qs[i] = q / np.linalg.norm(q)
+
+    def handle_drag(self, dx: float, dy: float) -> str:
+        """Mouse-drag rotation: pixel deltas -> small pitch/yaw, like the
+        reference's cursor-delta camera rotation (reference:
+        visualizer.py:207-214). Dragging right yaws right, dragging down
+        pitches down, matching the arrow-key directions."""
+        drag_angle = 0.005  # radians per pixel
+        rx = float(np.clip(dy * drag_angle, -0.3, 0.3))
+        ry = float(np.clip(dx * drag_angle, -0.3, 0.3))
+        with self.lock:
+            targets, sign = self._targets()
+            self._apply_rotation(rx, ry, targets, sign)
+        who = ("camera" if self.selected is None
+               else f"object {self.selected}")
+        return f"drag rotate {who}"
 
     def frame_png(self) -> bytes:
         import jax.numpy as jnp
@@ -204,6 +244,21 @@ def make_handler(state: VisualizerState):
                 from urllib.parse import urlparse, parse_qs
                 key = parse_qs(urlparse(self.path).query).get("k", [""])[0]
                 msg = state.handle_key(key)
+                body = msg.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/drag"):
+                from urllib.parse import urlparse, parse_qs
+                qs = parse_qs(urlparse(self.path).query)
+                try:
+                    dx = float(qs.get("dx", ["0"])[0])
+                    dy = float(qs.get("dy", ["0"])[0])
+                except ValueError:
+                    dx = dy = 0.0
+                msg = state.handle_drag(dx, dy)
                 body = msg.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain")
