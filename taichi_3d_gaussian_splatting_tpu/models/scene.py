@@ -106,9 +106,16 @@ class GaussianPointCloudScene(NamedTuple):
             pad = capacity - num_points
             point_cloud = np.concatenate(
                 [point_cloud, np.zeros((pad, 3), np.float32)])
+            # padding slots carry an identity quaternion, not all-zeros: a
+            # zero quaternion would hit the q/|q| renormalization in every
+            # train step (0/0) and the straight-through normalize in the
+            # projection; both are floored now, but the data should be sane
+            # regardless (the reference pre-pads with zeros and gets away
+            # with it only because torch never differentiates invalid rows)
+            pad_feats = np.zeros((pad, config.num_of_features), np.float32)
+            pad_feats[:, 3] = 1.0  # quat xyzw -> identity
             point_cloud_features = np.concatenate(
-                [point_cloud_features,
-                 np.zeros((pad, config.num_of_features), np.float32)])
+                [point_cloud_features, pad_feats])
             invalid = np.concatenate([invalid, np.ones((pad,), np.int8)])
             point_object_id = np.concatenate(
                 [point_object_id, np.zeros((pad,), np.int32)])

@@ -42,8 +42,11 @@ class LossFunction:
     @staticmethod
     def _regularization_loss(point_invalid_mask, pointcloud_features):
         """mean over valid points of ||exp(s)||_2 (reference: :40-51),
-        computed masked instead of boolean-indexed for static shapes."""
-        valid = (point_invalid_mask == 0).astype(jnp.float32)
-        exp_s = jnp.exp(pointcloud_features[:, 4:7])
-        norms = jnp.linalg.norm(exp_s, axis=1) * valid
+        computed masked instead of boolean-indexed for static shapes.
+        The mask is applied BEFORE exp so an invalid slot with huge or NaN
+        log-scales contributes exactly 0 instead of inf*0=NaN."""
+        valid_b = point_invalid_mask == 0
+        valid = valid_b.astype(jnp.float32)
+        s = jnp.where(valid_b[:, None], pointcloud_features[:, 4:7], 0.0)
+        norms = jnp.linalg.norm(jnp.exp(s), axis=1) * valid
         return jnp.sum(norms) / jnp.maximum(jnp.sum(valid), 1.0)
