@@ -34,7 +34,22 @@ def load_scene():
         else:
             scene = GaussianPointCloudScene.from_parquet(path)
         return scene.point_cloud, scene.point_cloud_features
-    n = 430_000  # reference Truck 30k checkpoint size (README.md:66)
+    if os.environ.get("BENCH_SCENE_KIND", "") == "heavy":
+        # real-checkpoint statistics: clustered positions, log-normal
+        # (heavy-tailed) scales, background shell - the scale regime the
+        # reference benchmarks at 1.03M/2.08M points
+        # (reference: benchmark/README.md:3,8,31-32)
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmark"))
+        from synthetic_checkpoint import make_heavy_tailed_checkpoint
+        n = int(os.environ.get("BENCH_POINTS", "1030000"))
+        pc, feats = make_heavy_tailed_checkpoint(
+            n, np.random.default_rng(0))
+        return jnp.array(pc), jnp.array(feats)
+    n = int(os.environ.get(
+        "BENCH_POINTS",
+        "430000"))  # reference Truck 30k checkpoint size (README.md:66)
     rng = np.random.default_rng(0)
     pc = np.stack([rng.uniform(-30, 30, n), rng.uniform(-20, 20, n),
                    rng.uniform(2, 60, n)], 1).astype(np.float32)
@@ -74,10 +89,12 @@ def main():
     q_cam = jnp.array([[0.0, 0.0, 0.0, 1.0]])
     t_cam = jnp.zeros((1, 3))
     # capacity budgets derived from the scene itself (one cheap projection
-    # probe of the benchmark view + 50% headroom), NOT hand-tuned to the
-    # workload; the dropped-work guard below still verifies
+    # probe), NOT hand-tuned to the workload; the dropped-work guard below
+    # still verifies. Headroom is tight (10%) because the probe pose IS the
+    # render pose - the budgets' cost is real (max_keys rows ride the blend
+    # slab gather at ~6 ns/row), so unneeded headroom directly costs FPS
     cfg = auto_capacity_config(pc, feats, invalid, obj,
-                               [(q_cam, t_cam)], cam, cfg, headroom=1.5)
+                               [(q_cam, t_cam)], cam, cfg, headroom=1.1)
 
     # chained timing: each call's input depends on the previous call's
     # output, so host-side dispatch through the axon tunnel cannot pipeline
@@ -117,7 +134,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
     record = {
-        "metric": "render_fps_976x544_430k_points",
+        "metric": f"render_fps_976x544_{round(n / 1000)}k_points",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
@@ -179,8 +196,8 @@ def measure_train_step(pc, feats, cam):
 
     @jax.jit
     def step(pc, feats, fstate, pstate, ctrl):
-        qn = feats[:, 0:4] / jnp.linalg.norm(feats[:, 0:4], axis=1,
-                                             keepdims=True)
+        qn = feats[:, 0:4] / jnp.maximum(jnp.linalg.norm(
+            feats[:, 0:4], axis=1, keepdims=True), 1e-12)
         feats = feats.at[:, 0:4].set(qn)
         result, vjp_fn = rasterize_with_vjp(
             pc, feats, invalid, obj, q_cam, t_cam, cam, cfg)

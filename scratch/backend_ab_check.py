@@ -25,7 +25,13 @@ def make_camera(w=32, h=32, f=25.0):
 
 def random_scene(n, seed=0, alpha=2.0):
     rng = np.random.default_rng(seed)
-    pc = np.concatenate([rng.uniform(-0.8, 0.8, (n, 2)), rng.uniform(1.0, 4.0, (n, 1))], axis=1).astype(np.float32)
+    # tie-free depths: one point per 0.05-unit stratum (5 sort-key buckets
+    # at the default depth_to_sort_key_scale=100), jittered WITHIN the
+    # stratum - equal quantized keys blend in backend-dependent order
+    # (unstable sort, same as the reference's torch.sort; CLAUDE.md)
+    z = 1.0 + 0.05 * rng.permutation(n) + rng.uniform(0.005, 0.045, n)
+    pc = np.concatenate([rng.uniform(-0.8, 0.8, (n, 2)),
+                         z[:, None]], axis=1).astype(np.float32)
     feats = np.zeros((n, 56), np.float32)
     q = rng.normal(size=(n, 4)); feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
     feats[:, 4:7] = rng.uniform(-2.5, -1.0, (n, 3))
@@ -33,7 +39,12 @@ def random_scene(n, seed=0, alpha=2.0):
     feats[:, 8:56] = 0.3 * rng.normal(size=(n, 48)); feats[:, 8] += 1.0
     return pc, feats
 
-CFG = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_keys=512, max_tiles_per_point=16)
+# divisors 1: pools hold every point. Exactness fixtures must be
+# overflow-free - WHICH points survive pool overflow is backend-dependent
+# (unstable category sort), same for key ties (CLAUDE.md)
+CFG = RasterizerConfig(near_plane=0.1, far_plane=100.0, max_keys=512,
+                       max_tiles_per_point=16,
+                       mid_point_divisor=1, big_point_divisor=1)
 cam = make_camera()
 out = {}
 for seed, alpha, label in [(1, 2.0, "a"), (2, 7.0, "b")]:

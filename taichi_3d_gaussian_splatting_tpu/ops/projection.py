@@ -51,8 +51,10 @@ class PointAttributes(NamedTuple):
     color_r: jnp.ndarray
     color_g: jnp.ndarray
     color_b: jnp.ndarray
-    radii: jnp.ndarray
+    radii: jnp.ndarray              # 3 sqrt(lambda_max) (reference parity)
     in_frustum: jnp.ndarray         # (N,) bool
+    radius_x: jnp.ndarray = None    # per-axis 3 sigma extents (marginals);
+    radius_y: jnp.ndarray = None    # the binning's tighter bbox
 
     # ---- convenience views (materialize small stacked arrays on demand;
     # used by tests / the jnp oracle, not the hot path) ----
@@ -73,9 +75,16 @@ class PointAttributes(NamedTuple):
 def normalize_straight_through_columns(qx, qy, qz, qw):
     """Value = q/|q| componentwise, jacobian = diag(1/|q|) (identity when
     already unit) - the reference's grad-wrt-normalized-quaternion shortcut
-    (reference: GaussianPointCloudRasterisation.py:197-205)."""
+    (reference: GaussianPointCloudRasterisation.py:197-205).
+
+    The squared norm is floored so an all-zero quaternion (a padded/invalid
+    pool slot) yields 0, not 0*inf=NaN: a NaN here rides the VJP into the
+    Adam moments of that slot (0-cotangent times inf-jacobian is NaN) and
+    permanently poisons it - every point densification later places there
+    would go NaN after one optimizer step and be pruned as transparent."""
     inv = jax.lax.stop_gradient(
-        jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw))
+        jax.lax.rsqrt(jnp.maximum(qx * qx + qy * qy + qz * qz + qw * qw,
+                                  1e-24)))
     return qx * inv, qy * inv, qz * inv, qw * inv
 
 
@@ -177,7 +186,14 @@ def compute_point_attributes(
     xc = w00 * px + w01 * py + w02 * pz + tcx
     yc = w10 * px + w11 * py + w12 * pz + tcy
     zc = w20 * px + w21 * py + w22 * pz + tcz
-    inv_z = 1.0 / zc
+    # the projection math divides by zc, which is 0 for a padded slot
+    # sitting at the camera origin: 0 * inf = NaN would ride the VJP into
+    # that slot's optimizer moments even with a zero cotangent (see
+    # normalize_straight_through_columns). Compute with a floored zc; the
+    # frustum test below keeps the TRUE zc, so culling is unchanged (any
+    # real point has zc > near_plane >> eps).
+    zc_safe = jnp.where(jnp.abs(zc) > 1e-6, zc, 1e-6)
+    inv_z = 1.0 / zc_safe
     u = fx * xc * inv_z + cx
     v = fy * yc * inv_z + cy
 
@@ -255,6 +271,16 @@ def compute_point_attributes(
     large_eig = (cov_a + cov_c + jnp.sqrt(
         (cov_a - cov_c) * (cov_a - cov_c) + 4.0 * cov_b * cov_b)) / 2.0
     radii = jnp.sqrt(jnp.maximum(large_eig, 0.0)) * 3.0
+    # per-axis 3-sigma extents from the marginal variances: the ellipse
+    # {d_Mahalanobis <= 3} spans exactly [u +- 3 sqrt(cov_xx)] x
+    # [v +- 3 sqrt(cov_yy)] - a strict subset of the reference's circular
+    # [+- 3 sqrt(lambda_max)] box (equal for isotropic splats). Both cut the
+    # same d > 3 sigma skirt; binning with the tighter box emits fewer sort
+    # keys for anisotropic splats at identical <= 3 sigma coverage (the
+    # marginal bound d^2 >= dx^2 / cov_xx guarantees every excluded pixel
+    # has d > 3 sigma).
+    radius_x = jnp.sqrt(jnp.maximum(cov_a, 0.0)) * 3.0
+    radius_y = jnp.sqrt(jnp.maximum(cov_c, 0.0)) * 3.0
 
     alpha_act = jax.nn.sigmoid(feats_t[7])
 
@@ -306,4 +332,5 @@ def compute_point_attributes(
         alpha_after_activation=alpha_act,
         color_r=color_r, color_g=color_g, color_b=color_b,
         radii=radii, in_frustum=in_frustum,
+        radius_x=radius_x, radius_y=radius_y,
     )

@@ -65,6 +65,18 @@ class RasterizerConfig:
     mid_point_divisor: int = 4
     max_keys: int = 2 ** 21
     chunk: int = 128
+    # optional tier for the log-normal size tail of real checkpoints: the
+    # few splats whose bbox exceeds max_tiles_per_point tiles get
+    # max_tiles_per_huge_point slots each (0 disables) in a tiny pool of
+    # huge_pool_size entries (see ops/tiling.py tier H)
+    max_tiles_per_huge_point: int = 0
+    huge_pool_size: int = 256
+
+    @property
+    def tile_scan_bound(self) -> int:
+        """Largest key count any single point can own - the backward's
+        log-doubling segmented scan must cover it."""
+        return max(self.max_tiles_per_point, self.max_tiles_per_huge_point)
 
 
 class RasterizerAux(NamedTuple):
@@ -313,15 +325,17 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         object_edit=object_edit)
     cols, depth = _blend_inputs_from_attrs(attrs)
     binning = bin_points_to_tiles(
-        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
-        camera_info,
+        attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y,
+        attrs.in_frustum, camera_info,
         depth_to_sort_key_scale=config.depth_to_sort_key_scale,
         max_tiles_per_point=config.max_tiles_per_point,
         big_point_divisor=config.big_point_divisor,
         mid_point_divisor=config.mid_point_divisor,
         max_keys=config.max_keys,
         chunk=config.chunk,
-        attr_cols=cols + (depth,))
+        attr_cols=cols + (depth,),
+        max_tiles_per_huge_point=config.max_tiles_per_huge_point,
+        huge_pool_size=config.huge_pool_size)
     return attrs, cols, depth, binning
 
 
@@ -352,7 +366,8 @@ def _result_from_tile_out(tile_out, attrs, binning, camera_info):
         point_uv=jax.lax.stop_gradient(attrs.uv),
         point_depth=jax.lax.stop_gradient(attrs.depth),
         num_overlap_tiles=jax.lax.stop_gradient(num_overlap_tiles(
-            attrs.u, attrs.v, attrs.radii, attrs.in_frustum, camera_info)),
+            attrs.u, attrs.v, attrs.radius_x, attrs.radius_y,
+            attrs.in_frustum, camera_info)),
         total_keys=binning.total_keys,
         key_overflow=binning.key_overflow,
         big_point_overflow=binning.big_point_overflow,
@@ -385,7 +400,7 @@ def rasterize(
         q_pointcloud_camera, t_pointcloud_camera, camera_info, config,
         color_sh_mask, object_edit=object_edit)
     static_cfg = (TileGrid.from_camera(camera_info), config.chunk, n,
-                  config.max_tiles_per_point)
+                  config.tile_scan_bound)
     blend_binning = _BlendBinning(
         binning.point_data, binning.sorted_point_idx, binning.sorted_valid,
         binning.tile_starts, binning.tile_ends, binning.point_kept_keys,
@@ -446,7 +461,7 @@ def rasterize_with_vjp(
     def vjp_fn(g_image):
         cotangents, stats = _blend_bwd_explicit(
             point_data, tile_out, g_image, blend_binning, grid, n,
-            config.max_tiles_per_point, config.chunk)
+            config.tile_scan_bound, config.chunk)
         grad_pc, grad_feats = attr_vjp(cotangents)
         return grad_pc, grad_feats, stats
 

@@ -23,12 +23,19 @@ sized from measured overlap statistics (Truck-scale scene at 976x544:
 - tier M: points overlapping 3..MID_SLOTS=4 tiles get 4 slots each in a
   fixed pool of `N // mid_point_divisor` entries;
 - tier B: points overlapping more than MID_SLOTS tiles own
-  `max_tiles_per_point` slots each in a pool of `N // big_point_divisor`.
+  `max_tiles_per_point` slots each in a pool of `N // big_point_divisor`;
+- tier H (optional, `max_tiles_per_huge_point > 0`): the few points whose
+  bbox exceeds `max_tiles_per_point` tiles - real checkpoints have a
+  log-normal size tail where ~0.03% of splats cover 50-200 tiles - get
+  `max_tiles_per_huge_point` slots each in a TINY pool of `huge_pool_size`
+  entries. Without this tier those splats lose their excess tiles
+  (tile_cap_overflow); giving every big-pool point the larger budget
+  instead would multiply the sort rows by ~t_h/t_b.
 
-Both pools are selected by ONE category sort over N (key: 0=big, 1=mid,
-2=rest; payload: point id). Big ids are the static prefix `[:BIG_CAP]`; mid
-ids are a dynamic-start slice beginning at the (traced) big-point count.
-No scatter anywhere.
+All pools are selected by ONE category sort over N (key: 0=huge, 1=big,
+2=mid, 3=rest; payload: point id). Huge ids are the static prefix
+`[:HUGE_CAP]`; big and mid ids are dynamic-start slices beginning at the
+(traced) preceding-category counts. No scatter anywhere.
 
 Padding slots carry an int32-max key and sort to the end. The (tile, depth)
 order is packed into ONE int32 key: tile id in the high bits, quantized depth
@@ -94,25 +101,32 @@ def pool_capacities(n: int, mid_point_divisor: int = 4,
 
 def emission_capacity(n: int, max_tiles_per_point: int = 32,
                       big_point_divisor: int = 16, chunk: int = 128,
-                      mid_point_divisor: int = 4) -> int:
+                      mid_point_divisor: int = 4,
+                      max_tiles_per_huge_point: int = 0,
+                      huge_pool_size: int = 0) -> int:
     n_mid, n_big = pool_capacities(n, mid_point_divisor, big_point_divisor)
+    n_huge = huge_pool_size if max_tiles_per_huge_point > 0 else 0
     raw = (TIER_A_SLOTS * n + MID_SLOTS * n_mid
-           + max_tiles_per_point * n_big)
+           + max_tiles_per_point * n_big
+           + max_tiles_per_huge_point * n_huge)
     return ((raw + chunk - 1) // chunk) * chunk
 
 
-def tile_bbox(u, v, radii, camera_info: CameraInfo):
-    """Axis-aligned tile bbox exactly as the reference computes it
-    (reference: GaussianPointCloudRasterisation.py:81-103), including the
-    min-1-pixel radius and the clamp semantics that keep off-screen points in
-    the nearest boundary tile."""
+def tile_bbox(u, v, radius_x, radius_y, camera_info: CameraInfo):
+    """Axis-aligned tile bbox with the reference's min-1-pixel radius and
+    clamp semantics (off-screen points stay in the nearest boundary tile,
+    reference: GaussianPointCloudRasterisation.py:81-103). Unlike the
+    reference's circular radius, the two axes take independent extents (the
+    per-axis 3-sigma marginals from projection) - a strictly tighter box at
+    identical <= 3-sigma coverage (see ops/projection.py radius_x)."""
     tiles_x = camera_info.camera_width // TILE_WIDTH
     tiles_y = camera_info.camera_height // TILE_HEIGHT
-    r = jnp.maximum(radii, 1.0)
-    min_u = jnp.maximum(0.0, u - r)
-    max_u = u + r
-    min_v = jnp.maximum(0.0, v - r)
-    max_v = v + r
+    rx = jnp.maximum(radius_x, 1.0)
+    ry = jnp.maximum(radius_y, 1.0)
+    min_u = jnp.maximum(0.0, u - rx)
+    max_u = u + rx
+    min_v = jnp.maximum(0.0, v - ry)
+    max_v = v + ry
     min_tile_u = jnp.minimum(jnp.floor(min_u / TILE_WIDTH).astype(jnp.int32), tiles_x)
     max_tile_u = jnp.floor(max_u / TILE_WIDTH).astype(jnp.int32) + 1
     max_tile_u = jnp.minimum(jnp.maximum(max_tile_u, min_tile_u + 1), tiles_x)
@@ -122,10 +136,12 @@ def tile_bbox(u, v, radii, camera_info: CameraInfo):
     return min_tile_u, max_tile_u, min_tile_v, max_tile_v
 
 
-def num_overlap_tiles(u, v, radii, in_frustum, camera_info: CameraInfo):
+def num_overlap_tiles(u, v, radius_x, radius_y, in_frustum,
+                      camera_info: CameraInfo):
     """(N,) int32 exact tile-overlap counts, 0 for culled points
     (reference: GaussianPointCloudRasterisation.py:106-129)."""
-    min_u, max_u, min_v, max_v = tile_bbox(u, v, radii, camera_info)
+    min_u, max_u, min_v, max_v = tile_bbox(u, v, radius_x, radius_y,
+                                           camera_info)
     count = (max_u - min_u) * (max_v - min_v)
     return jnp.where(in_frustum, count, 0)
 
@@ -156,7 +172,8 @@ def bin_points_to_tiles(
     u: jnp.ndarray,            # (N,)
     v: jnp.ndarray,            # (N,)
     depth: jnp.ndarray,        # (N,)
-    radii: jnp.ndarray,        # (N,)
+    radius_x: jnp.ndarray,     # (N,) per-axis bbox half-extents (pixels)
+    radius_y: jnp.ndarray,     # (N,)
     in_frustum: jnp.ndarray,   # (N,) bool
     camera_info: CameraInfo,
     depth_to_sort_key_scale: float = 100.0,
@@ -166,6 +183,8 @@ def bin_points_to_tiles(
     chunk: int = 128,
     attr_cols: Optional[Sequence[jnp.ndarray]] = None,
     mid_point_divisor: int = 4,
+    max_tiles_per_huge_point: int = 0,
+    huge_pool_size: int = 256,
 ) -> TileBinning:
     """attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
     conic_c, logw, r, g, b, depth). When given, the result carries
@@ -174,7 +193,8 @@ def bin_points_to_tiles(
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     depth = jax.lax.stop_gradient(depth)
-    radii = jax.lax.stop_gradient(radii)
+    radius_x = jax.lax.stop_gradient(radius_x)
+    radius_y = jax.lax.stop_gradient(radius_y)
 
     n = u.shape[0]
     t_b = max_tiles_per_point
@@ -184,15 +204,27 @@ def bin_points_to_tiles(
         # covers - silent gradient corruption, so refuse loudly
         raise ValueError(
             f"max_tiles_per_point={t_b} must be >= {MID_SLOTS} (MID_SLOTS)")
+    if max_tiles_per_huge_point and max_tiles_per_huge_point <= t_b:
+        raise ValueError(
+            f"max_tiles_per_huge_point={max_tiles_per_huge_point} must "
+            f"exceed max_tiles_per_point={t_b} (or be 0 to disable)")
+    num_tiles = camera_info.num_tiles
+    # a bbox can never exceed the whole grid; if the clamp leaves no room
+    # above t_b the tier is dead weight, so drop it
+    t_h = min(int(max_tiles_per_huge_point), num_tiles)
+    use_huge = t_h > t_b
+    n_huge_cap = min(int(huge_pool_size), n) if use_huge else 0
+    if not use_huge:
+        t_h = 0
     n_mid_cap, n_big_cap = pool_capacities(n, mid_point_divisor,
                                            big_point_divisor)
     tiles_x = camera_info.camera_width // TILE_WIDTH
-    num_tiles = camera_info.num_tiles
     depth_bits = 31 - max(int(math.ceil(math.log2(num_tiles + 1))), 1)
     em_cap = emission_capacity(n, t_b, big_point_divisor, chunk,
-                               mid_point_divisor)
+                               mid_point_divisor, t_h, n_huge_cap)
 
-    min_u, max_u, min_v, max_v = tile_bbox(u, v, radii, camera_info)
+    min_u, max_u, min_v, max_v = tile_bbox(u, v, radius_x, radius_y,
+                                           camera_info)
     du = max_u - min_u
     dv = max_v - min_v
     count_full = jnp.where(in_frustum, du * dv, 0)
@@ -207,56 +239,83 @@ def bin_points_to_tiles(
     keys_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
                         tiles_x, depth_bits)                   # (2, N)
 
-    # ---- pools: ONE category sort selects both tiers (no scatter) ---------
-    # category 0 = big (count > MID_SLOTS), 1 = mid (TIER_A < count <= MID),
-    # 2 = everything else. After the unstable sort the big ids are the
-    # static prefix [:BIG_CAP]; the mid ids start at the traced big count,
-    # extracted with one dynamic-start slice.
-    is_big = count_full > MID_SLOTS
-    is_mid = (~is_big) & (count_full > TIER_A_SLOTS)
-    cat = jnp.where(is_big, 0, jnp.where(is_mid, 1, 2)).astype(jnp.int32)
+    # ---- pools: ONE category sort selects every tier (no scatter) ---------
+    # category 0 = huge (count > t_b, only when the tier is enabled),
+    # 1 = big (MID_SLOTS < count <= t_b), 2 = mid (TIER_A < count <= MID),
+    # 3 = everything else. After the unstable sort the huge ids are the
+    # static prefix [:HUGE_CAP]; the big and mid ids start at the traced
+    # preceding-category counts, extracted with dynamic-start slices.
+    is_huge = (count_full > t_b) if use_huge else jnp.zeros_like(
+        in_frustum, dtype=bool)
+    is_big = (~is_huge) & (count_full > MID_SLOTS)
+    is_mid = (~is_huge) & (~is_big) & (count_full > TIER_A_SLOTS)
+    cat = jnp.where(is_huge, 0,
+                    jnp.where(is_big, 1,
+                              jnp.where(is_mid, 2, 3))).astype(jnp.int32)
     _, sorted_ids_by_cat = jax.lax.sort(
         (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
+    n_huge_actual = jnp.sum(is_huge.astype(jnp.int32))
     n_big_actual = jnp.sum(is_big.astype(jnp.int32))
     n_mid_actual = jnp.sum(is_mid.astype(jnp.int32))
 
-    big_ids = sorted_ids_by_cat[:n_big_cap]                    # (BIG_CAP,)
-    big_rank = jnp.arange(n_big_cap, dtype=jnp.int32)
-    big_active = big_rank < jnp.minimum(n_big_actual, n_big_cap)
+    huge_ids = sorted_ids_by_cat[:n_huge_cap]                  # (HUGE_CAP,)
+    huge_rank = jnp.arange(n_huge_cap, dtype=jnp.int32)
+    huge_active = huge_rank < jnp.minimum(n_huge_actual, n_huge_cap)
 
-    # mid slice start: clamp ourselves so the entry -> sorted-position map
-    # stays explicit even when big count + MID_CAP exceeds N
-    mid_start = jnp.minimum(n_big_actual,
+    # big slice start: clamp ourselves so the entry -> sorted-position map
+    # stays explicit even when the preceding counts + the pool exceed N
+    big_start = jnp.minimum(n_huge_actual,
+                            jnp.int32(max(n - n_big_cap, 0)))
+    big_ids = jax.lax.dynamic_slice(sorted_ids_by_cat, (big_start,),
+                                    (n_big_cap,))              # (BIG_CAP,)
+    big_rank = jnp.arange(n_big_cap, dtype=jnp.int32)
+    big_sorted_pos = big_start + big_rank
+    big_active = ((big_sorted_pos >= n_huge_actual)
+                  & (big_sorted_pos < n_huge_actual + n_big_actual))
+    n_big_in_pool = jnp.sum(big_active.astype(jnp.int32))
+
+    mid_start = jnp.minimum(n_huge_actual + n_big_actual,
                             jnp.int32(max(n - n_mid_cap, 0)))
     mid_ids = jax.lax.dynamic_slice(sorted_ids_by_cat, (mid_start,),
                                     (n_mid_cap,))              # (MID_CAP,)
     mid_rank = jnp.arange(n_mid_cap, dtype=jnp.int32)
     mid_sorted_pos = mid_start + mid_rank
-    mid_active = ((mid_sorted_pos >= n_big_actual)
-                  & (mid_sorted_pos < n_big_actual + n_mid_actual))
+    mid_active = ((mid_sorted_pos >= n_huge_actual + n_big_actual)
+                  & (mid_sorted_pos
+                     < n_huge_actual + n_big_actual + n_mid_actual))
     n_mid_in_pool = jnp.sum(mid_active.astype(jnp.int32))
-    big_point_overflow = (jnp.maximum(n_big_actual - n_big_cap, 0)
+    big_point_overflow = (jnp.maximum(n_huge_actual - n_huge_cap, 0)
+                          + (n_big_actual - n_big_in_pool)
                           + (n_mid_actual - n_mid_in_pool))
 
-    # per-entry emission inputs for both pools: one packed-table gather
-    # (5 int32 columns x (BIG_CAP + MID_CAP) indices)
-    pool_ids = jnp.concatenate([big_ids, mid_ids])
+    # per-entry emission inputs for all pools: one packed-table gather
+    # (5 int32 columns x (HUGE_CAP + BIG_CAP + MID_CAP) indices)
+    pool_ids = jnp.concatenate([huge_ids, big_ids, mid_ids])
     pool_tbl = jnp.stack([min_u, min_v, dv, depth_q, count_full],
-                         axis=0)[:, pool_ids]                  # (5, B+M)
+                         axis=0)[:, pool_ids]                  # (5, H+B+M)
     bm_min_u, bm_min_v, bm_dv, bm_depth_q, bm_count = pool_tbl
+    sl_h = slice(0, n_huge_cap)
+    sl_b = slice(n_huge_cap, n_huge_cap + n_big_cap)
+    sl_m = slice(n_huge_cap + n_big_cap, None)
+
+    count_h = jnp.where(huge_active,
+                        jnp.minimum(bm_count[sl_h], t_h), 0)
+    slots_h = jnp.arange(t_h, dtype=jnp.int32)
+    keys_h = _emit_tier(slots_h, count_h, bm_min_u[sl_h], bm_min_v[sl_h],
+                        bm_dv[sl_h], bm_depth_q[sl_h], tiles_x, depth_bits)
 
     count_b = jnp.where(big_active,
-                        jnp.minimum(bm_count[:n_big_cap], t_b), 0)
+                        jnp.minimum(bm_count[sl_b], t_b), 0)
     slots_b = jnp.arange(t_b, dtype=jnp.int32)
-    keys_b = _emit_tier(slots_b, count_b, bm_min_u[:n_big_cap],
-                        bm_min_v[:n_big_cap], bm_dv[:n_big_cap],
-                        bm_depth_q[:n_big_cap], tiles_x, depth_bits)
+    keys_b = _emit_tier(slots_b, count_b, bm_min_u[sl_b],
+                        bm_min_v[sl_b], bm_dv[sl_b],
+                        bm_depth_q[sl_b], tiles_x, depth_bits)
 
-    count_m = jnp.where(mid_active, bm_count[n_big_cap:], 0)
+    count_m = jnp.where(mid_active, bm_count[sl_m], 0)
     slots_m = jnp.arange(MID_SLOTS, dtype=jnp.int32)
-    keys_m = _emit_tier(slots_m, count_m, bm_min_u[n_big_cap:],
-                        bm_min_v[n_big_cap:], bm_dv[n_big_cap:],
-                        bm_depth_q[n_big_cap:], tiles_x, depth_bits)
+    keys_m = _emit_tier(slots_m, count_m, bm_min_u[sl_m],
+                        bm_min_v[sl_m], bm_dv[sl_m],
+                        bm_depth_q[sl_m], tiles_x, depth_bits)
 
     # ---- flatten + pad + one packed sort ------------------------------
     # Emission POSITION values stay contiguous per point (tier-A point i owns
@@ -266,20 +325,25 @@ def bin_points_to_tiles(
     # Padding slots get a sentinel position so the sort-by-position
     # compaction puts them after every real segment.
     pt_a = jax.lax.broadcasted_iota(jnp.int32, (TIER_A_SLOTS, n), 1)
-    pad_len = (em_cap - TIER_A_SLOTS * n - t_b * n_big_cap
-               - MID_SLOTS * n_mid_cap)
+    pad_len = (em_cap - TIER_A_SLOTS * n - t_h * n_huge_cap
+               - t_b * n_big_cap - MID_SLOTS * n_mid_cap)
 
-    def _flatten(tier_a, tier_b, tier_m, pad_value, dtype):
+    def _flatten(tier_a, tier_h, tier_b, tier_m, pad_value, dtype):
         return jnp.concatenate([
-            tier_a.reshape(-1).astype(dtype), tier_b.reshape(-1).astype(dtype),
+            tier_a.reshape(-1).astype(dtype),
+            tier_h.reshape(-1).astype(dtype),
+            tier_b.reshape(-1).astype(dtype),
             tier_m.reshape(-1).astype(dtype),
             jnp.full((pad_len,), pad_value, dtype)])
 
-    flat_keys = _flatten(keys_a, keys_b, keys_m, INT32_MAX, jnp.int32)
+    flat_keys = _flatten(keys_a, keys_h, keys_b, keys_m, INT32_MAX,
+                         jnp.int32)
     # the point id rides through the sort as a payload: deriving it from the
     # emission position afterwards would need an (EM_CAP,) gather from the
     # pool tables, which is slow on TPU
     flat_ids = _flatten(jnp.broadcast_to(pt_a, (TIER_A_SLOTS, n)),
+                        jnp.broadcast_to(huge_ids[None, :],
+                                         (t_h, n_huge_cap)),
                         jnp.broadcast_to(big_ids[None, :], (t_b, n_big_cap)),
                         jnp.broadcast_to(mid_ids[None, :],
                                          (MID_SLOTS, n_mid_cap)),
@@ -318,12 +382,18 @@ def bin_points_to_tiles(
             cr, cg, cb_col, depth, jnp.ones_like(logw),
             zeros, zeros, zeros,
         ], axis=0)                                   # (16, N)
+        # barrier: without it XLA fuses the projection math INTO the gather
+        # and recomputes attributes per gathered element (measured 4.7 ms vs
+        # 0.1 ms for the packed-table gather alone at 715k keys)
+        rows = jax.lax.optimization_barrier(rows)
         point_data = rows[:, sorted_point_idx]       # (16, MK)
 
     # per-point kept-key counts for the gradient routing's segment ends;
     # exact as long as no pool entry and no key was dropped (the routing
-    # checks the overflow counters and falls back to a searchsorted)
-    point_kept_keys = jnp.minimum(count_full, t_b)
+    # checks the overflow counters and falls back to a searchsorted).
+    # A huge-tier point keeps up to t_h keys, everything else up to t_b.
+    per_point_cap = jnp.where(is_huge, t_h, t_b) if use_huge else t_b
+    point_kept_keys = jnp.minimum(count_full, per_point_cap)
 
     # one unrolled binary search for all tile boundaries: starts[t] and
     # ends[t] = starts[t+1] come from a single (num_tiles+1)-query search.
@@ -335,7 +405,8 @@ def bin_points_to_tiles(
     tile_starts = edges[:-1]
     tile_ends = edges[1:]
 
-    total_emitted = jnp.sum(count_a) + jnp.sum(count_b) + jnp.sum(count_m)
+    total_emitted = (jnp.sum(count_a) + jnp.sum(count_h)
+                     + jnp.sum(count_b) + jnp.sum(count_m))
     key_overflow = jnp.maximum(total_emitted - mk, 0)
     sorted_tile_id = jnp.where(sorted_valid, sorted_key >> depth_bits,
                                num_tiles)

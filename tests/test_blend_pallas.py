@@ -64,7 +64,7 @@ def render_both(pc, feats, cam, seed_invalid=None):
                     fromlist=["inverse_SE3_qt"]).inverse_SE3_qt(q_cam, t_cam),
         t_cam, cam, CONFIG.near_plane, CONFIG.far_plane)
     binning = tiling.bin_points_to_tiles(
-        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum, cam,
+        attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y, attrs.in_frustum, cam,
         depth_to_sort_key_scale=CONFIG.depth_to_sort_key_scale,
         max_tiles_per_point=CONFIG.max_tiles_per_point)
     oracle = blend_reference(
@@ -127,7 +127,7 @@ def test_forward_chunk_boundaries():
         jnp.array(pc), jnp.array(feats), inv, obj,
         *inverse_SE3_qt(q_cam, t_cam), t_cam, cam, 0.1, 100.0)
     binning = tiling.bin_points_to_tiles(
-        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum, cam,
+        attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y, attrs.in_frustum, cam,
         max_tiles_per_point=16)
     assert int(binning.tile_starts[0]) % 128 != 0 or True  # smoke layout
     oracle = blend_reference(
@@ -158,7 +158,7 @@ def _oracle_loss_grads(pc, feats, cam, g_seed=7):
             pc_j, feats_j, inv, obj, *inverse_SE3_qt(q_cam, t_cam), t_cam,
             cam, CONFIG.near_plane, CONFIG.far_plane)
         binning = tiling.bin_points_to_tiles(
-            attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
+            attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y, attrs.in_frustum,
             cam, depth_to_sort_key_scale=CONFIG.depth_to_sort_key_scale,
             max_tiles_per_point=CONFIG.max_tiles_per_point)
         out = blend_reference(

@@ -44,7 +44,7 @@ def render(pointcloud, feats, cam, invalid=None, t_cap=16):
         jnp.zeros((n,), jnp.int32), q_cam, t_cam, t_cam, cam,
         near_plane=0.1, far_plane=100.0)
     binning = tiling.bin_points_to_tiles(
-        attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum, cam,
+        attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y, attrs.in_frustum, cam,
         max_tiles_per_point=t_cap)
     out = blend_reference(
         binning.sorted_point_idx, binning.sorted_tile_id, binning.sorted_valid,
@@ -125,7 +125,7 @@ def test_blend_is_differentiable_and_grads_are_finite():
             jnp.array([[0.0, 0.0, 0.0, 1.0]]), jnp.zeros((1, 3)),
             jnp.zeros((1, 3)), cam, 0.1, 100.0)
         binning = tiling.bin_points_to_tiles(
-            attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
+            attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y, attrs.in_frustum,
             cam, max_tiles_per_point=16)
         out = blend_reference(
             binning.sorted_point_idx, binning.sorted_tile_id,
@@ -164,7 +164,7 @@ def test_gradient_descent_converges_on_tiny_target():
             jnp.array([[0.0, 0.0, 0.0, 1.0]]), jnp.zeros((1, 3)),
             jnp.zeros((1, 3)), cam, 0.1, 100.0)
         binning = tiling.bin_points_to_tiles(
-            attrs.u, attrs.v, attrs.depth, attrs.radii, attrs.in_frustum,
+            attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y, attrs.in_frustum,
             cam, max_tiles_per_point=16)
         out = blend_reference(
             binning.sorted_point_idx, binning.sorted_tile_id,

@@ -41,19 +41,23 @@ def test_auto_budgets_prevent_overflow():
 
     cfg = auto_capacity_config(pc, feats, invalid, obj, [(q, t)], cam, base,
                                headroom=1.2)
-    emitted, n_big, n_mid = probe_workload(pc, feats, invalid, obj, [(q, t)],
-                                           cam, base)
+    emitted, n_big, n_mid, n_huge, max_count = probe_workload(
+        pc, feats, invalid, obj, [(q, t)], cam, base)
     assert emitted > 0 and n_big > 0  # the fixture must exercise the pools
     # pools actually fit the probed population with headroom
     assert n // cfg.big_point_divisor >= n_big
     assert n // cfg.mid_point_divisor >= n_mid
     assert cfg.max_keys >= emitted
     assert cfg.max_keys % cfg.chunk == 0
+    if n_huge > 0:  # the size tail got its own tier
+        assert cfg.max_tiles_per_huge_point >= min(max_count, cam.num_tiles)
+        assert cfg.huge_pool_size >= n_huge
 
     result = rasterize(pc, feats, invalid, obj, q, t, cam, cfg)
     assert int(result.aux.key_overflow) == 0
     assert int(result.aux.big_point_overflow) == 0
-    assert int(result.aux.tile_cap_overflow) >= 0  # capped by config choice
+    # with the huge tier auto-sized, NOTHING is dropped on the probed view
+    assert int(result.aux.tile_cap_overflow) == 0
     # probe's emission estimate matches the binning's own count
     assert int(result.aux.total_keys) == emitted
 
@@ -72,8 +76,69 @@ def test_auto_budgets_multi_view_takes_max():
     q = jnp.array([[0.0, 0.0, 0.0, 1.0]])
     near = jnp.zeros((1, 3))
     far = jnp.array([[0.0, 0.0, -6.0]])  # camera pulled back: fewer tiles hit
-    e_near, _, _ = probe_workload(pc, feats, invalid, obj, [(q, near)], cam,
-                                  base)
-    e_both, _, _ = probe_workload(pc, feats, invalid, obj,
-                                  [(q, far), (q, near)], cam, base)
+    e_near = probe_workload(pc, feats, invalid, obj, [(q, near)], cam,
+                            base)[0]
+    e_both = probe_workload(pc, feats, invalid, obj,
+                            [(q, far), (q, near)], cam, base)[0]
     assert e_both == e_near  # max over views, not the last view
+
+
+def test_huge_tier_render_matches_wide_cap_render():
+    """A scene with splats past the tier-B cap must render IDENTICALLY via
+    the huge tier and via a plainly-large max_tiles_per_point - the tier is
+    a capacity layout, not an approximation. Depths are spaced > one
+    quantization bucket so the unstable sort has no ties (CLAUDE.md)."""
+    import jax
+    h = w = 64
+    intr = np.array([[55.0, 0, w / 2], [0, 55.0, h / 2], [0, 0, 1]],
+                    np.float32)
+    cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
+    rng = np.random.default_rng(5)
+    n = 24
+    pc = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                   2.0 + 0.11 * np.arange(n)], 1).astype(np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    q = rng.normal(size=(n, 4))
+    feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    feats[:, 4:7] = rng.uniform(-2.5, 0.0, (n, 3))  # many past 8 tiles
+    feats[:, 7] = 1.0
+    feats[:, 8] = rng.uniform(-2, 2, n)
+    feats[:, 24] = rng.uniform(-2, 2, n)
+    feats[:, 40] = rng.uniform(-2, 2, n)
+    pc, feats = jnp.asarray(pc), jnp.asarray(feats)
+    invalid = jnp.zeros((n,), jnp.int8)
+    obj = jnp.zeros((n,), jnp.int32)
+    qc = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    tc = jnp.zeros((1, 3))
+
+    base = dict(near_plane=0.2, far_plane=100.0, depth_to_sort_key_scale=100.0,
+                mid_point_divisor=1, big_point_divisor=1)
+    wide = RasterizerConfig(max_tiles_per_point=16, **base)
+    tiered = RasterizerConfig(max_tiles_per_point=8,
+                              max_tiles_per_huge_point=16,
+                              huge_pool_size=n, **base)
+
+    def render_and_grad(cfg):
+        def f(p, ft):
+            r = rasterize(p, ft, invalid, obj, qc, tc, cam, cfg)
+            return jnp.sum(r.image * jnp.cos(jnp.arange(3.0))), r.image
+        (loss, img), grads = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True)(pc, feats)
+        return img, grads
+
+    img_w, (gp_w, gf_w) = render_and_grad(wide)
+    img_t, (gp_t, gf_t) = render_and_grad(tiered)
+    r_w = rasterize(pc, feats, invalid, obj, qc, tc, cam, wide)
+    r_t = rasterize(pc, feats, invalid, obj, qc, tc, cam, tiered)
+    for r in (r_w, r_t):
+        assert int(r.aux.tile_cap_overflow) == 0
+        assert int(r.aux.big_point_overflow) == 0
+    assert int(r_t.aux.total_keys) == int(r_w.aux.total_keys)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_w),
+                               atol=1e-6)
+    # gradients route through the larger scan bound identically (f32
+    # reassociation within a point's key segment is the only slack)
+    np.testing.assert_allclose(np.asarray(gp_t), np.asarray(gp_w),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_w),
+                               rtol=1e-4, atol=1e-6)

@@ -20,7 +20,7 @@ def test_tile_bbox_basic():
     cam = make_camera()
     uv = jnp.array([[8.0, 8.0]])     # center of tile (0, 0)
     radii = jnp.array([1.0])
-    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, radii, cam)
     assert (int(mnu[0]), int(mxu[0]), int(mnv[0]), int(mxv[0])) == (0, 1, 0, 1)
 
 
@@ -28,7 +28,7 @@ def test_tile_bbox_spanning():
     cam = make_camera()
     uv = jnp.array([[16.0, 16.0]])   # on the corner of 4 tiles
     radii = jnp.array([2.0])
-    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, radii, cam)
     # covers tiles u in {0,1}, v in {0,1}
     assert (int(mnu[0]), int(mxu[0]), int(mnv[0]), int(mxv[0])) == (0, 2, 0, 2)
 
@@ -39,7 +39,7 @@ def test_tile_bbox_offscreen_left_still_one_tile():
     cam = make_camera()
     uv = jnp.array([[-30.0, 8.0]])
     radii = jnp.array([2.0])
-    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
+    mnu, mxu, mnv, mxv = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, radii, cam)
     assert (int(mnu[0]), int(mxu[0])) == (0, 1)
     assert int((mxu[0] - mnu[0]) * (mxv[0] - mnv[0])) == 1
 
@@ -48,7 +48,7 @@ def test_min_radius_one_pixel():
     cam = make_camera()
     uv = jnp.array([[15.9, 8.0]])
     radii = jnp.array([0.0])  # clamped to 1 px -> spans tiles 0 and 1 in u
-    mnu, mxu, _, _ = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, cam)
+    mnu, mxu, _, _ = tiling.tile_bbox(uv[:, 0], uv[:, 1], radii, radii, cam)
     assert (int(mnu[0]), int(mxu[0])) == (0, 2)
 
 
@@ -62,7 +62,7 @@ def test_bin_points_sorted_by_tile_then_depth():
     depth = jnp.array([5.0, 2.0, 1.0])
     radii = jnp.array([1.0, 1.0, 1.0])
     in_frustum = jnp.array([True, True, True])
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, in_frustum, cam,
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii, in_frustum, cam,
                                    max_tiles_per_point=8)
     assert int(b.total_keys) == 3
     assert int(b.tile_cap_overflow) == 0
@@ -83,7 +83,7 @@ def test_bin_points_multi_tile_emission():
     uv = jnp.array([[16.0, 16.0]])
     depth = jnp.array([3.0])
     radii = jnp.array([2.0])
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, jnp.array([True]), cam,
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii, jnp.array([True]), cam,
                                    max_tiles_per_point=8)
     assert int(b.total_keys) == 4
     valid = np.asarray(b.sorted_valid)
@@ -97,7 +97,7 @@ def test_tile_cap_overflow_reported():
     uv = jnp.array([[32.0, 24.0]])
     depth = jnp.array([3.0])
     radii = jnp.array([100.0])  # covers all 4x3 = 12 tiles
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, jnp.array([True]), cam,
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii, jnp.array([True]), cam,
                                    max_tiles_per_point=8)
     assert int(b.total_keys) == 8
     assert int(b.tile_cap_overflow) == 4
@@ -110,7 +110,7 @@ def test_big_point_pool_overflow_reported():
     uv = jnp.tile(jnp.array([[32.0, 24.0]]), (n, 1))
     depth = jnp.arange(1, n + 1, dtype=jnp.float32)
     radii = jnp.full((n,), 40.0)  # each covers many tiles -> all "big"
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii,
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii,
                                    jnp.ones((n,), bool), cam,
                                    max_tiles_per_point=8,
                                    big_point_divisor=8)  # pool = 2 entries
@@ -125,13 +125,68 @@ def test_mid_point_pool_overflow_reported():
     uv = jnp.tile(jnp.array([[16.0, 16.0]]), (n, 1))  # 2x2-tile corner
     depth = jnp.arange(1, n + 1, dtype=jnp.float32)
     radii = jnp.full((n,), 2.0)  # each covers exactly 4 tiles -> all "mid"
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii,
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii,
                                    jnp.ones((n,), bool), cam,
                                    max_tiles_per_point=8,
                                    mid_point_divisor=4)  # pool = 2 entries
     assert int(b.big_point_overflow) == 6
     assert int(b.total_keys) == 8
     assert int(b.tile_cap_overflow) == 24
+
+
+def test_huge_tier_eliminates_tile_cap_overflow():
+    # same fixture as test_tile_cap_overflow_reported, but with tier H
+    # enabled: the splat covering all 12 tiles emits every one of them
+    cam = make_camera()
+    uv = jnp.array([[32.0, 24.0]])
+    depth = jnp.array([3.0])
+    radii = jnp.array([100.0])
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii,
+                                   jnp.array([True]), cam,
+                                   max_tiles_per_point=8,
+                                   max_tiles_per_huge_point=16,
+                                   huge_pool_size=4)
+    assert int(b.total_keys) == 12
+    assert int(b.tile_cap_overflow) == 0
+    assert int(b.big_point_overflow) == 0
+    valid = np.asarray(b.sorted_valid)
+    assert sorted(np.asarray(b.sorted_tile_id)[valid].tolist()) == list(
+        range(12))
+    np.testing.assert_array_equal(np.asarray(b.point_kept_keys), [12])
+
+
+def test_huge_tier_pool_overflow_reported():
+    # more huge points than the tiny pool: excess dropped + counted, and
+    # big-tier points are still binned correctly after the huge prefix
+    cam = make_camera()
+    n = 6
+    uv = jnp.tile(jnp.array([[32.0, 24.0]]), (n, 1))
+    depth = jnp.arange(1, n + 1, dtype=jnp.float32)
+    # 4 huge (cover 12 tiles each > t_b=8), 2 big (2x3=6 tiles each)
+    radii = jnp.array([100.0, 100.0, 100.0, 100.0, 10.0, 10.0])
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii,
+                                   jnp.ones((n,), bool), cam,
+                                   max_tiles_per_point=8,
+                                   big_point_divisor=2,  # big pool = 3
+                                   max_tiles_per_huge_point=16,
+                                   huge_pool_size=2)
+    assert int(b.big_point_overflow) == 2  # 2 huge points past the pool
+    # 2 huge x 12 + 2 big x 6 = 36 keys survive
+    assert int(b.total_keys) == 36
+
+
+def test_huge_tier_validation():
+    cam = make_camera()
+    args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.ones((1,)),
+            jnp.ones((1,)), jnp.ones((1,)), jnp.array([True]), cam)
+    import pytest
+    with pytest.raises(ValueError, match="max_tiles_per_huge_point"):
+        tiling.bin_points_to_tiles(*args, max_tiles_per_point=8,
+                                   max_tiles_per_huge_point=8)
+    # a clamp below t_b (tiny grid) silently disables the tier instead
+    b = tiling.bin_points_to_tiles(*args, max_tiles_per_point=11,
+                                   max_tiles_per_huge_point=64)
+    assert int(b.total_keys) == 1
 
 
 def test_point_kept_keys_match_emitted_keys():
@@ -145,7 +200,7 @@ def test_point_kept_keys_match_emitted_keys():
                              rng.uniform(0, 48, n)], 1).astype(np.float32))
     depth = jnp.array(rng.uniform(1, 50, n).astype(np.float32))
     radii = jnp.array(rng.uniform(0.5, 20, n).astype(np.float32))
-    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii,
+    b = tiling.bin_points_to_tiles(uv[:, 0], uv[:, 1], depth, radii, radii,
                                    jnp.ones((n,), bool),
                                    cam, max_tiles_per_point=t_b,
                                    big_point_divisor=2,
@@ -193,7 +248,7 @@ def test_depth_key_precision_matches_reference_ordering():
     v = jnp.full((n,), 8.0)
     radii = jnp.ones((n,))
     b = tiling.bin_points_to_tiles(
-        u, v, jnp.asarray(depth), radii, jnp.ones((n,), bool), cam,
+        u, v, jnp.asarray(depth), radii, radii, jnp.ones((n,), bool), cam,
         depth_to_sort_key_scale=scale, max_tiles_per_point=8,
         mid_point_divisor=1, big_point_divisor=1)
     valid = np.asarray(b.sorted_valid)
@@ -205,8 +260,8 @@ def test_depth_key_precision_matches_reference_ordering():
     far = jnp.array([6000.0, 7000.0], jnp.float32)
     b2 = tiling.bin_points_to_tiles(
         jnp.full((2,), 8.0), jnp.full((2,), 8.0), far, jnp.ones((2,)),
-        jnp.ones((2,), bool), cam, depth_to_sort_key_scale=scale,
-        max_tiles_per_point=8)
+        jnp.ones((2,)), jnp.ones((2,), bool), cam,
+        depth_to_sort_key_scale=scale, max_tiles_per_point=8)
     valid2 = np.asarray(b2.sorted_valid)
     assert (np.asarray(b2.sorted_depth_key)[valid2]
             == (1 << depth_bits) - 1).all()
