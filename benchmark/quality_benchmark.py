@@ -3,33 +3,53 @@ synthetic multi-view scene at TPU scale.
 
 The reference proves quality on Tanks&Temples Truck (val PSNR 25.21 @ 30k
 iterations, reference: README.md:66), but that dataset cannot be shipped
-here. This benchmark is the largest offline stand-in that needs no external
-data: a ground-truth gaussian scene (geometrically coherent shells, genuine
-band-1 view-dependent color) rendered from an orbit of poses; the trainer
-must recover it from a noisy, half-subsampled initialization and clear a
-HELD-OUT PSNR bar (val views never trained on).
+here. Two modes, both with the FULL controller active (floater removal,
+alpha reset, densify/split/clone/transparent pruning - the subsystems every
+real reference run exercises, reference:
+GaussianPointAdaptiveController.py:166-167,194-202,355-358):
 
-Run on the TPU:  python benchmark/quality_benchmark.py
-Options via env: QB_RES (128), QB_VIEWS (48), QB_ITERS (2000),
-QB_OUT (logs dir, default /tmp/quality_benchmark).
+- quick (default): in-model gaussian ground truth, 128x128, 48 views, 2000
+  iterations - a fast recovery sanity bar (~minutes on one chip).
+- --full: the reference-scale campaign. OUT-OF-MODEL procedural ground
+  truth (textured surfaces + occlusion + gradient sky, see
+  procedural_scene.py), 976x544, 48 views with every 8th strictly held out,
+  ~30k-point COLMAP-like init into a >=150k-point pool with a background
+  sphere, 30k iterations following the reference Truck protocol shape
+  (config/tat_truck_every_8_test.yaml: warm-up 1000, densify 100, alpha
+  reset 4000 @ -1.9, floater removal from 2000, SH band unlock 1000,
+  coarse-to-fine from 4x). Reports the held-out PSNR/SSIM trajectory AND
+  the measured end-to-end wall-clock.
 
-Prints one JSON line: {"metric": "synthetic_holdout_psnr", ...} and the
-full PSNR trajectory.
+Run on the TPU:  python benchmark/quality_benchmark.py [--full]
+Options via env (quick mode): QB_RES (128), QB_VIEWS (48), QB_ITERS (2000),
+QB_OUT (logs dir). Full mode: QB_FULL_ITERS (30000), QB_FULL_VIEWS (48),
+QB_FULL_POINTS (30000), QB_FULL_RATIO (6.0), QB_OUT.
+
+Prints one JSON line: {"metric": ..., "value": <final holdout PSNR>, ...}
+and the full PSNR trajectory.
+
+Quality bars (recorded in benchmark/README.md):
+- quick: held-out PSNR >= 25 (reference-VERDICT bar; measured ~31).
+- full: held-out PSNR >= 25 at 30k - the reference's Truck bar transplanted
+  to a synthetic scene of comparable protocol shape. Out-of-model GT means
+  PSNR is bounded by model capacity, like real photos.
 """
 
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_scene(n_points, rng):
-    """Ground truth: points on two concentric shells plus a core cluster -
-    coherent geometry (unlike uniform noise) so novel views are honestly
-    predictable from the training orbit."""
+    """Quick-mode ground truth: points on two concentric shells plus a core
+    cluster - coherent geometry (unlike uniform noise) so novel views are
+    honestly predictable from the training orbit."""
     n_shell = n_points // 2
     n_shell2 = n_points // 4
     n_core = n_points - n_shell - n_shell2
@@ -52,13 +72,48 @@ def make_scene(n_points, rng):
     return pc, feats
 
 
-def main():
+def _write_dataset(records, out_dir, holdout_every=8):
+    """Every `holdout_every`-th view strictly held out (reference CI
+    protocol, reference: tools/prepare_colmap.py:304-312)."""
+    val_records = records[::holdout_every]
+    train_records = [r for i, r in enumerate(records)
+                     if i % holdout_every != 0]
+    with open(os.path.join(out_dir, "train.json"), "w") as f:
+        json.dump(train_records, f)
+    with open(os.path.join(out_dir, "val.json"), "w") as f:
+        json.dump(val_records, f)
+    return len(train_records), len(val_records)
+
+
+def _summarize(out_dir, meta):
+    traj = []
+    npts = -1
+    with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "val/psnr" in rec:
+                traj.append((rec["iteration"], round(rec["val/psnr"], 2),
+                             round(rec.get("val/ssim", 0.0), 4)))
+            if "value/num_valid_points" in rec:
+                npts = rec["value/num_valid_points"]
+    best = max(t[1] for t in traj)
+    final = traj[-1]
+    meta.update({
+        "value": final[1], "best": best, "final_ssim": final[2],
+        "points": npts, "trajectory": traj,
+    })
+    print(json.dumps(meta), flush=True)
+    return meta
+
+
+def main_quick():
     res = int(os.environ.get("QB_RES", "128"))
     n_views = int(os.environ.get("QB_VIEWS", "48"))
     iters = int(os.environ.get("QB_ITERS", "2000"))
     out_dir = os.environ.get("QB_OUT", "/tmp/quality_benchmark")
     os.makedirs(out_dir, exist_ok=True)
 
+    import jax
     import jax.numpy as jnp
     import PIL.Image
     from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
@@ -102,7 +157,6 @@ def main():
     records = []
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
-    import jax
 
     @jax.jit
     def render_gt(q, t):
@@ -127,15 +181,7 @@ def main():
             "camera_height": H, "camera_width": W, "camera_id": 0,
         })
         print(f"rendered GT view {vi + 1}/{n_views}", flush=True)
-
-    # every 8th view strictly held out (reference CI protocol,
-    # reference: tools/prepare_colmap.py:304-312)
-    val_records = records[::8]
-    train_records = [r for i, r in enumerate(records) if i % 8 != 0]
-    with open(os.path.join(out_dir, "train.json"), "w") as f:
-        json.dump(train_records, f)
-    with open(os.path.join(out_dir, "val.json"), "w") as f:
-        json.dump(val_records, f)
+    n_train, n_val = _write_dataset(records, out_dir)
 
     import pandas as pd
     keep = rng.random(n_points) < 0.5
@@ -165,11 +211,18 @@ def main():
         adaptive_controller_config=AdaptiveControllerConfig(
             num_iterations_warm_up=200,
             num_iterations_densify=100,
-            num_iterations_reset_alpha=10 ** 6,
+            # FULL controller: alpha reset (3 resets over the 2000-iteration
+            # default run) and floater removal both ACTIVE
+            num_iterations_reset_alpha=max(iters // 4, 100),
+            reset_alpha_value=-1.0,
+            iteration_start_remove_floater=max(iters // 8, 100),
+            # orbit radius 2.5, scene radius ~0.7: anything splatting >1/4
+            # of the frame from closer than 1.2 units is a floater
+            floater_depth_threshold=1.2,
+            floater_near_camrea_num_pixels_threshold=(res * res) // 4,
             densification_view_space_position_gradients_threshold=1e-5,
             under_reconstructed_num_pixels_threshold=4000,
-            transparent_alpha_threshold=-2.0,
-            iteration_start_remove_floater=10 ** 9),
+            transparent_alpha_threshold=-2.0),
         gaussian_point_cloud_scene_config=SceneConfig(
             max_num_points_ratio=5.0, initial_alpha=0.5,
             max_initial_covariance=0.1),
@@ -178,26 +231,132 @@ def main():
     trainer = GaussianPointCloudTrainer(config)
     trainer.train()
 
-    traj = []
-    npts = -1
-    with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "val/psnr" in rec:
-                traj.append((rec["iteration"], round(rec["val/psnr"], 2),
-                             round(rec.get("val/ssim", 0.0), 4)))
-            if "value/num_valid_points" in rec:
-                npts = rec["value/num_valid_points"]
-    best = max(t[1] for t in traj)
-    final = traj[-1]
-    print(json.dumps({
+    _summarize(out_dir, {
         "metric": "synthetic_holdout_psnr",
         "resolution": res, "views": n_views, "iterations": iters,
-        "holdout_views": len(val_records),
-        "value": final[1], "best": best, "final_ssim": final[2],
-        "points": npts, "trajectory": traj,
-    }), flush=True)
+        "holdout_views": n_val,
+    })
+
+
+def main_full():
+    """Reference-scale campaign: out-of-model GT, 976x544, 30k iterations,
+    full controller, measured wall-clock. ~35-40 min on one v5e chip."""
+    from procedural_scene import (orbit_pose, render_view,
+                                  sample_init_points)
+
+    iters = int(os.environ.get("QB_FULL_ITERS", "30000"))
+    n_views = int(os.environ.get("QB_FULL_VIEWS", "48"))
+    n_init = int(os.environ.get("QB_FULL_POINTS", "30000"))
+    ratio = float(os.environ.get("QB_FULL_RATIO", "6.0"))
+    out_dir = os.environ.get("QB_OUT", "/tmp/quality_benchmark_full")
+    os.makedirs(out_dir, exist_ok=True)
+
+    import PIL.Image
+    import pandas as pd
+    from taichi_3d_gaussian_splatting_tpu.models.scene import SceneConfig
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        RasterizerConfig)
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+        GaussianPointCloudTrainer, TrainConfig)
+    from taichi_3d_gaussian_splatting_tpu.training.controller import (
+        AdaptiveControllerConfig)
+    from taichi_3d_gaussian_splatting_tpu.training.loss import (
+        LossFunctionConfig)
+
+    h, w = 544, 976  # reference render/benchmark resolution
+    f = 581.743      # reference intrinsics (gaussian_point_render.py:26-27)
+    intr = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    records = []
+    rng = np.random.default_rng(0)
+    for vi in range(n_views):
+        elev = (0.38, 0.18, 0.55)[vi % 3]  # three elevation rings
+        T = orbit_pose(2 * np.pi * vi / n_views + 0.05 * (vi % 3), elev)
+        img = render_view(T, intr, h, w)
+        path = os.path.join(img_dir, f"v{vi:03d}.png")
+        PIL.Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        records.append({
+            "image_path": path,
+            "T_pointcloud_camera": T.tolist(),
+            "camera_intrinsics": intr.tolist(),
+            "camera_height": h, "camera_width": w, "camera_id": 0,
+        })
+        print(f"rendered GT view {vi + 1}/{n_views}", flush=True)
+    n_train, n_val = _write_dataset(records, out_dir)
+
+    pc, rgb = sample_init_points(n_init, rng)
+    parquet = os.path.join(out_dir, "point_cloud.parquet")
+    pd.DataFrame(
+        np.concatenate([pc, rgb], axis=1),
+        columns=["x", "y", "z", "r", "g", "b"]).to_parquet(parquet)
+
+    # protocol shape: reference config/tat_truck_every_8_test.yaml
+    config = TrainConfig(
+        train_dataset_json_path=os.path.join(out_dir, "train.json"),
+        val_dataset_json_path=os.path.join(out_dir, "val.json"),
+        pointcloud_parquet_path=parquet,
+        num_iterations=iters,
+        val_interval=max(iters // 15, 500),
+        feature_learning_rate=0.005,
+        position_learning_rate=5e-5,
+        position_learning_rate_decay_rate=0.9947,
+        position_learning_rate_decay_interval=100,
+        increase_color_max_sh_band_interval=1000,
+        initial_downsample_factor=4,
+        half_downsample_factor_interval=250,
+        log_loss_interval=100,
+        log_metrics_interval=100,
+        log_image_interval=10 ** 9,
+        log_validation_image=False,
+        save_full_checkpoint=False,
+        summary_writer_log_dir=os.path.join(out_dir, "logs"),
+        rasterisation_config=RasterizerConfig(
+            near_plane=0.4, far_plane=2000.0,
+            depth_to_sort_key_scale=10.0,
+            max_tiles_per_point=32,
+            big_point_divisor=8,
+            mid_point_divisor=2,
+            max_keys=2 ** 21),
+        adaptive_controller_config=AdaptiveControllerConfig(
+            num_iterations_warm_up=1000,
+            num_iterations_densify=100,
+            num_iterations_reset_alpha=4000,   # ACTIVE (reference cadence)
+            reset_alpha_value=-1.9,
+            iteration_start_remove_floater=2000,  # ACTIVE
+            floater_num_pixels_threshold=400000,
+            floater_near_camrea_num_pixels_threshold=300000,
+            transparent_alpha_threshold=-2.0,
+            densification_view_space_position_gradients_threshold=3e-6,
+            under_reconstructed_num_pixels_threshold=32,
+            under_reconstructed_move_factor=10.0,
+            gaussian_split_factor_phi=1.6),
+        gaussian_point_cloud_scene_config=SceneConfig(
+            max_num_points_ratio=ratio,
+            add_sphere=True,                   # background shell for the sky
+            initial_alpha=0.05,
+            initial_covariance_ratio=0.1,
+            max_initial_covariance=3000.0),
+        loss_function_config=LossFunctionConfig(enable_regularization=False),
+    )
+    trainer = GaussianPointCloudTrainer(config)
+    t0 = time.perf_counter()
+    trainer.train()
+    wall = time.perf_counter() - t0
+
+    meta = _summarize(out_dir, {
+        "metric": "procedural_fullres_holdout_psnr",
+        "resolution": f"{w}x{h}", "views": n_views,
+        "holdout_views": n_val, "iterations": iters,
+        "init_points": n_init, "pool_capacity": trainer.scene.capacity,
+        "wall_clock_minutes": round(wall / 60.0, 1),
+    })
+    return meta
 
 
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        main_full()
+    else:
+        main_quick()
