@@ -162,6 +162,18 @@ def _downsample_item(item: DatasetItem, factor: int) -> DatasetItem:
                        item.t_pointcloud_camera, cam)
 
 
+def _cache_image_to_float(x):
+    """Device-cache image to f32 in [0, 1]. The cache stores uint8 (the
+    data is PNG-sourced, and the downsampler already round-trips through
+    uint8, so nothing is lost) because the upload rides the host->device
+    link ONCE per downsample factor - through a remote-TPU tunnel at
+    ~3 MB/s a 48-view 976x544 f32 stack is ~100 minutes, uint8 is 4x
+    less. f32 stacks (streaming fallback, old checkpoints) pass through."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 255.0)
+    return x
+
+
 class _LazyCacheImage:
     """Deferred fetch of a device-cached GT image (panel logging only) -
     materializing it every iteration would reintroduce the per-step device
@@ -172,7 +184,10 @@ class _LazyCacheImage:
         self.idx = idx
 
     def fetch(self):
-        return np.asarray(self.stack[int(self.idx)])
+        img = np.asarray(self.stack[int(self.idx)])
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        return img
 
 
 class MetricsLogger:
@@ -329,8 +344,8 @@ class GaussianPointCloudTrainer:
                         % num_views]
             sh_band = iteration // band_interval
             out = dp_step(scene, opt_feat, opt_pos, ctrl_state,
-                          images[idxs], qs[idxs], ts[idxs], intrs[idxs],
-                          sh_band)
+                          _cache_image_to_float(images[idxs]), qs[idxs],
+                          ts[idxs], intrs[idxs], sh_band)
             new_state = (iteration + 1, perm, pos + batch, prng)
             return out + (new_state, idxs[-1])
 
@@ -384,8 +399,8 @@ class GaussianPointCloudTrainer:
             idx = perm[pos]
             sh_band = iteration // band_interval
             out = raw_step(scene, opt_feat, opt_pos, ctrl_state,
-                           images[idx], qs[idx], ts[idx], sh_band,
-                           intrs[idx])
+                           _cache_image_to_float(images[idx]), qs[idx],
+                           ts[idx], sh_band, intrs[idx])
             new_state = (iteration + 1, perm, pos + 1, prng)
             return out + (new_state, idx)
 
@@ -500,12 +515,14 @@ class GaussianPointCloudTrainer:
                   for it in items}
         if len(shapes) != 1:
             return None
-        total_bytes = sum(np.asarray(it.image, np.float32).nbytes
-                          for it in items)
+        total_bytes = sum(it.image.size for it in items)  # uint8 cache
         if total_bytes > config.device_cache_max_bytes:
             return None
+        # uint8 on device (see _cache_image_to_float): 4x smaller upload
+        # and HBM footprint, lossless for PNG-sourced data
         images = jnp.asarray(np.stack(
-            [np.asarray(it.image, np.float32) for it in items]))
+            [np.round(np.asarray(it.image, np.float32) * 255.0)
+             .astype(np.uint8) for it in items]))
         qs = jnp.asarray(np.stack(
             [np.asarray(it.q_pointcloud_camera, np.float32) for it in items]))
         ts = jnp.asarray(np.stack(
@@ -888,8 +905,7 @@ class GaussianPointCloudTrainer:
             items = [self.val_dataset[i] for i in range(n)]
             shapes = {(it.camera_info.camera_height,
                        it.camera_info.camera_width) for it in items}
-            total = sum(np.asarray(it.image, np.float32).nbytes
-                        for it in items)
+            total = sum(it.image.size for it in items)  # uint8 cache
             if (n == 0 or len(shapes) != 1
                     or total > self.config.device_cache_max_bytes):
                 self._val_cache = False
@@ -897,7 +913,8 @@ class GaussianPointCloudTrainer:
                 self._val_cache = (
                     items[0].camera_info,
                     jnp.asarray(np.stack(
-                        [np.asarray(it.image, np.float32) for it in items])),
+                        [np.round(np.asarray(it.image, np.float32) * 255.0)
+                         .astype(np.uint8) for it in items])),
                     jnp.asarray(np.stack(
                         [np.asarray(it.q_pointcloud_camera, np.float32)
                          for it in items])),
@@ -932,8 +949,9 @@ class GaussianPointCloudTrainer:
                 img = _eval_render(self.scene, qs_d[idx], ts_d[idx],
                                    intrs_d[idx], cam_hw, raster_cfg)
                 img = jnp.clip(img, 0.0, 1.0)
-                loss, _, ld_ssim = self.loss_fn(img, images_d[idx])
-                per_view.append((loss, psnr_fn(img, images_d[idx]), ld_ssim))
+                gt = _cache_image_to_float(images_d[idx])
+                loss, _, ld_ssim = self.loss_fn(img, gt)
+                per_view.append((loss, psnr_fn(img, gt), ld_ssim))
                 if fetch_images:
                     imgs.append(img)
             fetched = jax.device_get(per_view)
@@ -945,7 +963,8 @@ class GaussianPointCloudTrainer:
                 total_ssim += float(1.0 - ld_ssim)
                 if fetch_images:
                     grid = np.concatenate(
-                        [np.asarray(imgs[idx]), np.asarray(images_d[idx])],
+                        [np.asarray(imgs[idx]),
+                         np.asarray(_cache_image_to_float(images_d[idx]))],
                         axis=1)
                     self.logger.image(iteration, f"val/image {idx}", grid)
         else:
