@@ -170,7 +170,9 @@ def _cache_image_to_float(x):
     ~3 MB/s a 48-view 976x544 f32 stack is ~100 minutes, uint8 is 4x
     less. f32 stacks (streaming fallback, old checkpoints) pass through."""
     if x.dtype == jnp.uint8:
-        return x.astype(jnp.float32) * (1.0 / 255.0)
+        # true division, NOT multiply-by-reciprocal: must be bit-identical
+        # to the dataset loader's `png / 255.0`
+        return x.astype(jnp.float32) / 255.0
     return x
 
 

@@ -252,3 +252,25 @@ def test_densify_scatter_figure():
     assert img.ndim == 3 and img.shape[2] == 3
     assert np.isfinite(img).all()
     assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_uint8_device_cache_is_lossless():
+    """The device dataset cache stores uint8 (4x smaller upload through the
+    remote-TPU tunnel); _cache_image_to_float must reproduce the PNG-sourced
+    float image EXACTLY, and f32 stacks must pass through untouched."""
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+        _cache_image_to_float, _LazyCacheImage)
+    rng = np.random.default_rng(3)
+    # PNG-sourced data: floats that are exactly k/255
+    u8 = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    img_f = u8.astype(np.float32) / 255.0
+    stored = jnp.asarray(np.round(img_f * 255.0).astype(np.uint8))
+    back = np.asarray(_cache_image_to_float(stored))
+    np.testing.assert_array_equal(back, img_f)
+    # f32 passthrough
+    f32 = jnp.asarray(img_f)
+    assert _cache_image_to_float(f32) is f32
+    # lazy panel fetch converts too
+    lazy = _LazyCacheImage(stored, 1)
+    np.testing.assert_array_equal(lazy.fetch(), img_f[1])
+    assert lazy.fetch().dtype == np.float32
