@@ -1,24 +1,25 @@
 """Scene-derived capacity budgets for the static tile-binning tiers.
 
 The binning (ops/tiling.py) uses fixed slot budgets - a key budget
-(`max_keys`) and two point pools (`mid_point_divisor`, `big_point_divisor`).
-The reference never needs this (its CUDA pipeline allocates per frame,
-reference: GaussianPointCloudRasterisation.py:927-931); on TPU the budgets
-must be static, and hand-tuning them per scene is benchmark-fitting: a scene
-with different overlap statistics silently drops work (budget too small) or
+(`max_keys`) and a pool ladder (`pool_slots` / `pool_caps`). The reference
+never needs this (its CUDA pipeline allocates per frame, reference:
+GaussianPointCloudRasterisation.py:927-931); on TPU the budgets must be
+static, and hand-tuning them per scene is benchmark-fitting: a scene with
+different overlap statistics silently drops work (budget too small) or
 wastes sort rows (budget too large).
 
 `auto_capacity_config` derives the budgets from the scene itself: one cheap
 jitted probe per representative view runs projection + tile-overlap counting
-(no sort, no blend) and returns the three workload counters the tiers are
-sized from; the budgets are their maxima times a stated headroom factor.
-Callers probe one or a few representative views and recompile once - the
-overflow guard downstream still applies (budgets bound, never silence).
+(no sort, no blend) and returns the per-bucket overlap histogram the ladder
+is sized from; the budgets are the per-view maxima times a stated headroom
+factor. Callers probe one or a few representative views and recompile once -
+the overflow guard downstream still applies (budgets bound, never silence).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -27,20 +28,23 @@ import jax.numpy as jnp
 
 from ..camera import CameraInfo
 from .projection import compute_point_attributes
-from .tiling import MID_SLOTS, TIER_A_SLOTS, tile_bbox
+from .tiling import TIER_A_SLOTS, tile_bbox
 from .transforms import inverse_SE3_qt
 
+# geometric ladder buckets: bucket i holds points whose bbox covers
+# (LADDER[i-1], LADDER[i]] tiles (LADDER[-1] before index 0 = TIER_A_SLOTS).
+# 2048 covers any tile grid up to ~2k tiles (976x544 has 2074; clamped to
+# num_tiles at resolve time).
+LADDER = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
-@partial(jax.jit, static_argnames=("cam_hw", "near_plane", "far_plane",
-                                   "max_tiles_per_point"))
+
+@partial(jax.jit, static_argnames=("cam_hw", "near_plane", "far_plane"))
 def _probe_counts(pointcloud, pointcloud_features, point_invalid_mask,
                   point_object_id, q_pointcloud_camera, t_pointcloud_camera,
-                  intrinsics, cam_hw, near_plane, far_plane,
-                  max_tiles_per_point):
-    """One view's workload counters:
-    (emitted_keys, n_big, n_mid, n_huge, max_count) scalars - emitted counts
-    EVERY overlapped tile (no per-point cap), so budgets derived from it can
-    cover the scene losslessly."""
+                  intrinsics, cam_hw, near_plane, far_plane):
+    """One view's workload: (emitted_keys, bucket_pops (len(LADDER),),
+    max_count) - emitted counts EVERY overlapped tile (no per-point cap), so
+    budgets derived from it can cover the scene losslessly."""
     camera_info = CameraInfo(camera_intrinsics=intrinsics,
                              camera_height=cam_hw[0], camera_width=cam_hw[1])
     q_cam, t_cam = inverse_SE3_qt(q_pointcloud_camera, t_pointcloud_camera)
@@ -52,95 +56,95 @@ def _probe_counts(pointcloud, pointcloud_features, point_invalid_mask,
                                            attrs.radius_y, camera_info)
     count = jnp.where(attrs.in_frustum, (max_u - min_u) * (max_v - min_v), 0)
     emitted = jnp.sum(count)
-    n_big = jnp.sum(((count > MID_SLOTS)
-                     & (count <= max_tiles_per_point)).astype(jnp.int32))
-    n_mid = jnp.sum(((count > TIER_A_SLOTS)
-                     & (count <= MID_SLOTS)).astype(jnp.int32))
-    n_huge = jnp.sum((count > max_tiles_per_point).astype(jnp.int32))
-    return emitted, n_big, n_mid, n_huge, jnp.max(count)
+    lo = TIER_A_SLOTS
+    pops = []
+    for hi in LADDER:
+        pops.append(jnp.sum(((count > lo) & (count <= hi)).astype(jnp.int32)))
+        lo = hi
+    return emitted, jnp.stack(pops), jnp.max(count)
 
 
 def probe_workload(pointcloud, pointcloud_features, point_invalid_mask,
                    point_object_id, views: Sequence[Tuple],
                    camera_info: CameraInfo,
-                   config) -> Tuple[int, int, int, int, int]:
-    """Max (emitted_keys, n_big, n_mid, n_huge, max_count) over `views` =
-    [(q (1,4), t (1,3)), ...] probe poses. Uses object id 0's pose for every
-    object (probing is approximate by design; headroom absorbs it)."""
-    emitted = n_big = n_mid = n_huge = max_count = 0
+                   config) -> Tuple[int, tuple, int]:
+    """Per-view maxima of (emitted_keys, bucket populations, max_count) over
+    `views` = [(q (1,4), t (1,3)), ...] probe poses. Uses object id 0's pose
+    for every object (probing is approximate by design; headroom absorbs
+    it)."""
+    emitted = 0
+    max_count = 0
+    pops = [0] * len(LADDER)
     cam_hw = (camera_info.camera_height, camera_info.camera_width)
     intr = jnp.asarray(camera_info.camera_intrinsics, jnp.float32)
     for q, t in views:
-        e, b, m, hg, mc = _probe_counts(
+        e, p, mc = _probe_counts(
             pointcloud, pointcloud_features, point_invalid_mask,
             point_object_id, jnp.asarray(q, jnp.float32),
             jnp.asarray(t, jnp.float32), intr, cam_hw,
-            float(config.near_plane), float(config.far_plane),
-            int(config.max_tiles_per_point))
+            float(config.near_plane), float(config.far_plane))
         emitted = max(emitted, int(e))
-        n_big = max(n_big, int(b))
-        n_mid = max(n_mid, int(m))
-        n_huge = max(n_huge, int(hg))
         max_count = max(max_count, int(mc))
-    return emitted, n_big, n_mid, n_huge, max_count
+        p = [int(x) for x in p]
+        pops = [max(a, b) for a, b in zip(pops, p)]
+    return emitted, tuple(pops), max_count
 
 
 def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
                          point_object_id, views: Sequence[Tuple],
                          camera_info: CameraInfo, base_config,
                          headroom: float = 1.5):
-    """Return `base_config` with `max_keys` / `big_point_divisor` /
-    `mid_point_divisor` derived from the probed workload x `headroom`.
+    """Return `base_config` with `max_keys` and the pool ladder
+    (`pool_slots` / `pool_caps`) derived from the probed workload x
+    `headroom`.
 
-    - the big/mid pools are sized to hold `headroom` x the largest probed
-      big/mid point population (divisor = N // pool, floored at 1 so the
-      pool can only be bigger than requested);
+    - the ladder has one pool per geometric bucket (4, 8, 16, ... tiles)
+      with a non-empty probed population, each sized to `headroom` x that
+      population (rounded up to a multiple of 8; pools for empty buckets
+      are dropped - a later frame drifting into one trips the overflow
+      guard and re-probing re-adds it);
     - `max_keys` covers `headroom` x the largest probed emission, rounded up
-      to the chunk multiple the binning slices at, plus the tier slack a
-      pooled point carries (a big point owns `max_tiles_per_point` slots even
-      when it covers fewer tiles - padding sorts last, but only real keys
-      below the `max_keys` cut survive, so the budget covers real keys only).
+      to the chunk multiple the binning slices at (pool padding sorts last,
+      so the budget covers real keys only).
 
-    When the probe finds splats whose bbox exceeds `max_tiles_per_point`
-    tiles (the log-normal size tail of real checkpoints), the huge tier is
-    enabled: `max_tiles_per_huge_point` covers the largest probed bbox and
-    `huge_pool_size` the probed huge-point population, each with headroom -
-    so the derived budgets render the probed views with ZERO dropped tiles.
+    With geometric slots the padded-sort-row waste is bounded below 2x at
+    any scene scale - the log-normal size tail of real checkpoints (a few
+    thousand splats covering 50-600 tiles) neither truncates nor explodes
+    the emission buffer (see ops/tiling.py).
 
     Recompile happens naturally when the returned budgets differ from the
     previous ones (the budgets are static jit arguments); the downstream
     overflow guard still counts anything a later frame drops.
     """
     n = int(pointcloud.shape[0])
-    emitted, n_big, n_mid, n_huge, max_count = probe_workload(
+    emitted, pops, max_count = probe_workload(
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         views, camera_info, base_config)
     chunk = int(base_config.chunk)
+    num_tiles = camera_info.num_tiles
 
-    def pool_divisor(need: int) -> int:
-        want = max(int(need * headroom), 1)
-        return max(n // want, 1) if want < n else 1
-
-    t_b = int(base_config.max_tiles_per_point)
-    if n_huge > 0:
-        # cover the probed max bbox with headroom, rounded up to a multiple
-        # of 8 (sublane-friendly slot grids); bounded by the tile grid
-        t_h = min(int(-(-int(max_count * headroom) // 8)) * 8,
-                  camera_info.num_tiles)
-        huge_pool = max(int(-(-int(n_huge * headroom) // 8)) * 8, 32)
-        huge_pool = min(huge_pool, n)
-        if t_h <= t_b:
-            t_h, huge_pool = 0, int(base_config.huge_pool_size)
-    else:
-        t_h, huge_pool = 0, int(base_config.huge_pool_size)
+    pool_slots = []
+    pool_caps = []
+    for hi, pop in zip(LADDER, pops):
+        if pop <= 0:
+            continue
+        slots = min(hi, num_tiles)
+        cap = min(max(int(-(-int(pop * headroom) // 8)) * 8, 8), n)
+        if pool_slots and slots <= pool_slots[-1]:
+            # num_tiles clamp collapsed this bucket into the previous one
+            pool_caps[-1] = min(pool_caps[-1] + cap, n)
+            continue
+        pool_slots.append(slots)
+        pool_caps.append(cap)
+    if not pool_slots:
+        # degenerate scene (every splat fits tier A): keep one minimal pool
+        pool_slots, pool_caps = [min(4, num_tiles)], [8]
 
     max_keys = max(int(emitted * headroom), chunk)
     max_keys = ((max_keys + chunk - 1) // chunk) * chunk
     return dataclasses.replace(
         base_config,
         max_keys=max_keys,
-        big_point_divisor=pool_divisor(n_big),
-        mid_point_divisor=pool_divisor(n_mid),
-        max_tiles_per_huge_point=t_h,
-        huge_pool_size=huge_pool,
+        pool_slots=tuple(pool_slots),
+        pool_caps=tuple(pool_caps),
     )

@@ -68,14 +68,22 @@ class RasterizerConfig:
     # optional tier for the log-normal size tail of real checkpoints: the
     # few splats whose bbox exceeds max_tiles_per_point tiles get
     # max_tiles_per_huge_point slots each (0 disables) in a tiny pool of
-    # huge_pool_size entries (see ops/tiling.py tier H)
+    # huge_pool_size entries (see ops/tiling.py)
     max_tiles_per_huge_point: int = 0
     huge_pool_size: int = 256
+    # explicit pool ladder (overrides the divisor knobs above): ascending
+    # slot sizes and matching pool capacities, normally auto-sized from a
+    # workload probe (ops/capacity.py auto_capacity_config). Bounds
+    # padded-slot waste below 2x at any scene scale (see ops/tiling.py)
+    pool_slots: tuple = ()
+    pool_caps: tuple = ()
 
     @property
     def tile_scan_bound(self) -> int:
         """Largest key count any single point can own - the backward's
         log-doubling segmented scan must cover it."""
+        if self.pool_slots:
+            return max(self.pool_slots)
         return max(self.max_tiles_per_point, self.max_tiles_per_huge_point)
 
 
@@ -335,7 +343,9 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         chunk=config.chunk,
         attr_cols=cols + (depth,),
         max_tiles_per_huge_point=config.max_tiles_per_huge_point,
-        huge_pool_size=config.huge_pool_size)
+        huge_pool_size=config.huge_pool_size,
+        pool_slots=config.pool_slots,
+        pool_caps=config.pool_caps)
     return attrs, cols, depth, binning
 
 

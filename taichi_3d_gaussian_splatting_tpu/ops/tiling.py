@@ -19,23 +19,24 @@ sized from measured overlap statistics (Truck-scale scene at 976x544:
 70% of visible splats cover <= 2 tiles, 97% cover <= 4, ~2% cover > 4):
 
 - tier A: every point owns TIER_A_SLOTS=2 slots - enough for the 1x2/2x1
-  tile bounding boxes that cover the majority of splats;
-- tier M: points overlapping 3..MID_SLOTS=4 tiles get 4 slots each in a
-  fixed pool of `N // mid_point_divisor` entries;
-- tier B: points overlapping more than MID_SLOTS tiles own
-  `max_tiles_per_point` slots each in a pool of `N // big_point_divisor`;
-- tier H (optional, `max_tiles_per_huge_point > 0`): the few points whose
-  bbox exceeds `max_tiles_per_point` tiles - real checkpoints have a
-  log-normal size tail where ~0.03% of splats cover 50-200 tiles - get
-  `max_tiles_per_huge_point` slots each in a TINY pool of `huge_pool_size`
-  entries. Without this tier those splats lose their excess tiles
-  (tile_cap_overflow); giving every big-pool point the larger budget
-  instead would multiply the sort rows by ~t_h/t_b.
+  tile bounding boxes that cover the majority of splats - read directly
+  from the per-point columns (gather-free);
+- a POOL LADDER for everything bigger: a static list of (slot_size,
+  capacity) tiers, each holding the points whose bbox fits its slot count
+  but not the next-smaller tier's. With geometric slot sizes (4, 8, 16,
+  ... sized from a one-frame workload probe, see ops/capacity.py
+  `auto_capacity_config`) padded-slot waste is bounded below 2x at ANY
+  scale - real checkpoints have a log-normal size tail where a few
+  thousand splats cover 50-600 tiles each, and a single fixed "big"
+  budget either truncates them (tile_cap_overflow) or multiplies the
+  sort rows by max_count/typical_count. Legacy 2/3-tier knobs
+  (`mid_point_divisor`, `big_point_divisor` / `max_tiles_per_point`,
+  optional huge tier) are still accepted and resolve to a ladder.
 
-All pools are selected by ONE category sort over N (key: 0=huge, 1=big,
-2=mid, 3=rest; payload: point id). Huge ids are the static prefix
-`[:HUGE_CAP]`; big and mid ids are dynamic-start slices beginning at the
-(traced) preceding-category counts. No scatter anywhere.
+All pools are selected by ONE category sort over N (key: tier index,
+largest slots first, K=rest; payload: point id). Each tier's ids are a
+dynamic-start slice beginning at the (traced) preceding-category totals.
+No scatter anywhere.
 
 Padding slots carry an int32-max key and sort to the end. The (tile, depth)
 order is packed into ONE int32 key: tile id in the high bits, quantized depth
@@ -99,17 +100,75 @@ def pool_capacities(n: int, mid_point_divisor: int = 4,
     return (max(n // mid_point_divisor, 1), max(n // big_point_divisor, 1))
 
 
+def resolve_pools(n: int, num_tiles: int,
+                  max_tiles_per_point: int = 32,
+                  big_point_divisor: int = 16,
+                  mid_point_divisor: int = 4,
+                  max_tiles_per_huge_point: int = 0,
+                  huge_pool_size: int = 256,
+                  pool_slots: Sequence[int] = (),
+                  pool_caps: Sequence[int] = ()):
+    """The pool ladder as [(slot_size, capacity), ...] ascending by slots.
+
+    When `pool_slots`/`pool_caps` are given (auto-sized from a workload
+    probe, see ops/capacity.py) they ARE the ladder - any number of tiers
+    with arbitrary slot sizes, which bounds padded-slot waste to < 2x when
+    the slots are geometric. Otherwise the legacy 2/3-tier layout is
+    derived from the divisor knobs (mid 3..4 tiles, big 5..max_tiles_per
+    _point, optional huge)."""
+    if pool_slots:
+        if len(pool_slots) != len(pool_caps):
+            raise ValueError("pool_slots and pool_caps must pair up")
+        pools = []
+        prev = TIER_A_SLOTS
+        for s, c in zip(pool_slots, pool_caps):
+            s = min(int(s), num_tiles)
+            if s <= prev:
+                raise ValueError(
+                    f"pool_slots must be ascending and > {TIER_A_SLOTS}; "
+                    f"got {tuple(pool_slots)} (grid has {num_tiles} tiles)")
+            pools.append((s, max(min(int(c), n), 1)))
+            prev = s
+        return pools
+    t_b = int(max_tiles_per_point)
+    if t_b < MID_SLOTS:
+        # a point covering MID_SLOTS tiles would emit more keys than
+        # point_kept_keys reports and than the backward's segmented scan
+        # covers - silent gradient corruption, so refuse loudly
+        raise ValueError(
+            f"max_tiles_per_point={t_b} must be >= {MID_SLOTS} (MID_SLOTS)")
+    if max_tiles_per_huge_point and max_tiles_per_huge_point <= t_b:
+        raise ValueError(
+            f"max_tiles_per_huge_point={max_tiles_per_huge_point} must "
+            f"exceed max_tiles_per_point={t_b} (or be 0 to disable)")
+    n_mid_cap, n_big_cap = pool_capacities(n, mid_point_divisor,
+                                           big_point_divisor)
+    pools = [(MID_SLOTS, n_mid_cap)]
+    if t_b > MID_SLOTS:
+        pools.append((min(t_b, num_tiles), n_big_cap))
+    # a bbox can never exceed the whole grid; if the clamp leaves no room
+    # above t_b the tier is dead weight, so drop it
+    t_h = min(int(max_tiles_per_huge_point), num_tiles)
+    if t_h > pools[-1][0]:
+        pools.append((t_h, max(min(int(huge_pool_size), n), 1)))
+    return pools
+
+
+def emission_capacity_pools(n: int, pools, chunk: int = 128) -> int:
+    raw = TIER_A_SLOTS * n + sum(s * c for s, c in pools)
+    return ((raw + chunk - 1) // chunk) * chunk
+
+
 def emission_capacity(n: int, max_tiles_per_point: int = 32,
                       big_point_divisor: int = 16, chunk: int = 128,
                       mid_point_divisor: int = 4,
                       max_tiles_per_huge_point: int = 0,
                       huge_pool_size: int = 0) -> int:
-    n_mid, n_big = pool_capacities(n, mid_point_divisor, big_point_divisor)
-    n_huge = huge_pool_size if max_tiles_per_huge_point > 0 else 0
-    raw = (TIER_A_SLOTS * n + MID_SLOTS * n_mid
-           + max_tiles_per_point * n_big
-           + max_tiles_per_huge_point * n_huge)
-    return ((raw + chunk - 1) // chunk) * chunk
+    """Legacy-knob emission capacity (num_tiles unconstrained)."""
+    pools = resolve_pools(n, 1 << 30, max_tiles_per_point, big_point_divisor,
+                          mid_point_divisor, max_tiles_per_huge_point,
+                          huge_pool_size)
+    return emission_capacity_pools(n, pools, chunk)
 
 
 def tile_bbox(u, v, radius_x, radius_y, camera_info: CameraInfo):
@@ -185,6 +244,8 @@ def bin_points_to_tiles(
     mid_point_divisor: int = 4,
     max_tiles_per_huge_point: int = 0,
     huge_pool_size: int = 256,
+    pool_slots: Sequence[int] = (),
+    pool_caps: Sequence[int] = (),
 ) -> TileBinning:
     """attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
     conic_c, logw, r, g, b, depth). When given, the result carries
@@ -197,31 +258,15 @@ def bin_points_to_tiles(
     radius_y = jax.lax.stop_gradient(radius_y)
 
     n = u.shape[0]
-    t_b = max_tiles_per_point
-    if t_b < MID_SLOTS:
-        # a point covering MID_SLOTS tiles would emit more keys than
-        # point_kept_keys reports and than the backward's segmented scan
-        # covers - silent gradient corruption, so refuse loudly
-        raise ValueError(
-            f"max_tiles_per_point={t_b} must be >= {MID_SLOTS} (MID_SLOTS)")
-    if max_tiles_per_huge_point and max_tiles_per_huge_point <= t_b:
-        raise ValueError(
-            f"max_tiles_per_huge_point={max_tiles_per_huge_point} must "
-            f"exceed max_tiles_per_point={t_b} (or be 0 to disable)")
     num_tiles = camera_info.num_tiles
-    # a bbox can never exceed the whole grid; if the clamp leaves no room
-    # above t_b the tier is dead weight, so drop it
-    t_h = min(int(max_tiles_per_huge_point), num_tiles)
-    use_huge = t_h > t_b
-    n_huge_cap = min(int(huge_pool_size), n) if use_huge else 0
-    if not use_huge:
-        t_h = 0
-    n_mid_cap, n_big_cap = pool_capacities(n, mid_point_divisor,
-                                           big_point_divisor)
+    pools = resolve_pools(n, num_tiles, max_tiles_per_point,
+                          big_point_divisor, mid_point_divisor,
+                          max_tiles_per_huge_point, huge_pool_size,
+                          pool_slots, pool_caps)
+    s_max = pools[-1][0]
     tiles_x = camera_info.camera_width // TILE_WIDTH
     depth_bits = 31 - max(int(math.ceil(math.log2(num_tiles + 1))), 1)
-    em_cap = emission_capacity(n, t_b, big_point_divisor, chunk,
-                               mid_point_divisor, t_h, n_huge_cap)
+    em_cap = emission_capacity_pools(n, pools, chunk)
 
     min_u, max_u, min_v, max_v = tile_bbox(u, v, radius_x, radius_y,
                                            camera_info)
@@ -240,114 +285,84 @@ def bin_points_to_tiles(
                         tiles_x, depth_bits)                   # (2, N)
 
     # ---- pools: ONE category sort selects every tier (no scatter) ---------
-    # category 0 = huge (count > t_b, only when the tier is enabled),
-    # 1 = big (MID_SLOTS < count <= t_b), 2 = mid (TIER_A < count <= MID),
-    # 3 = everything else. After the unstable sort the huge ids are the
-    # static prefix [:HUGE_CAP]; the big and mid ids start at the traced
-    # preceding-category counts, extracted with dynamic-start slices.
-    is_huge = (count_full > t_b) if use_huge else jnp.zeros_like(
-        in_frustum, dtype=bool)
-    is_big = (~is_huge) & (count_full > MID_SLOTS)
-    is_mid = (~is_huge) & (~is_big) & (count_full > TIER_A_SLOTS)
-    cat = jnp.where(is_huge, 0,
-                    jnp.where(is_big, 1,
-                              jnp.where(is_mid, 2, 3))).astype(jnp.int32)
+    # Tiers are ordered DESCENDING by slot size for the sort: category 0 =
+    # largest slots, ..., K-1 = smallest pool tier (count just above
+    # TIER_A_SLOTS), K = everything else (tier A / culled). After the
+    # unstable sort each tier's ids start at the traced preceding-category
+    # total, extracted with dynamic-start slices.
+    desc = list(reversed(pools))            # [(slots, cap)] descending
+    K = len(desc)
+    cat = jnp.full((n,), K, jnp.int32)
+    lower = TIER_A_SLOTS
+    for i in range(K - 1, -1, -1):          # smallest tier first
+        cat = jnp.where(count_full > lower, jnp.int32(i), cat)
+        lower = desc[i][0]
+    # count_full > s_max also lands in category 0 (truncated to s_max slots:
+    # the excess tiles are counted in tile_cap_overflow)
     _, sorted_ids_by_cat = jax.lax.sort(
         (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
-    n_huge_actual = jnp.sum(is_huge.astype(jnp.int32))
-    n_big_actual = jnp.sum(is_big.astype(jnp.int32))
-    n_mid_actual = jnp.sum(is_mid.astype(jnp.int32))
 
-    huge_ids = sorted_ids_by_cat[:n_huge_cap]                  # (HUGE_CAP,)
-    huge_rank = jnp.arange(n_huge_cap, dtype=jnp.int32)
-    huge_active = huge_rank < jnp.minimum(n_huge_actual, n_huge_cap)
+    pool_id_parts = []
+    active_parts = []
+    prefix = jnp.int32(0)
+    big_point_overflow = jnp.int32(0)
+    for i, (s_i, cap_i) in enumerate(desc):
+        n_i = jnp.sum((cat == i).astype(jnp.int32))
+        # clamp the slice start so the entry -> sorted-position map stays
+        # explicit even when the preceding counts + the pool exceed N
+        start_i = jnp.minimum(prefix, jnp.int32(max(n - cap_i, 0)))
+        ids_i = jax.lax.dynamic_slice(sorted_ids_by_cat, (start_i,),
+                                      (cap_i,))
+        pos_i = start_i + jnp.arange(cap_i, dtype=jnp.int32)
+        active_i = (pos_i >= prefix) & (pos_i < prefix + n_i)
+        big_point_overflow = big_point_overflow + (
+            n_i - jnp.sum(active_i.astype(jnp.int32)))
+        pool_id_parts.append(ids_i)
+        active_parts.append(active_i)
+        prefix = prefix + n_i
 
-    # big slice start: clamp ourselves so the entry -> sorted-position map
-    # stays explicit even when the preceding counts + the pool exceed N
-    big_start = jnp.minimum(n_huge_actual,
-                            jnp.int32(max(n - n_big_cap, 0)))
-    big_ids = jax.lax.dynamic_slice(sorted_ids_by_cat, (big_start,),
-                                    (n_big_cap,))              # (BIG_CAP,)
-    big_rank = jnp.arange(n_big_cap, dtype=jnp.int32)
-    big_sorted_pos = big_start + big_rank
-    big_active = ((big_sorted_pos >= n_huge_actual)
-                  & (big_sorted_pos < n_huge_actual + n_big_actual))
-    n_big_in_pool = jnp.sum(big_active.astype(jnp.int32))
-
-    mid_start = jnp.minimum(n_huge_actual + n_big_actual,
-                            jnp.int32(max(n - n_mid_cap, 0)))
-    mid_ids = jax.lax.dynamic_slice(sorted_ids_by_cat, (mid_start,),
-                                    (n_mid_cap,))              # (MID_CAP,)
-    mid_rank = jnp.arange(n_mid_cap, dtype=jnp.int32)
-    mid_sorted_pos = mid_start + mid_rank
-    mid_active = ((mid_sorted_pos >= n_huge_actual + n_big_actual)
-                  & (mid_sorted_pos
-                     < n_huge_actual + n_big_actual + n_mid_actual))
-    n_mid_in_pool = jnp.sum(mid_active.astype(jnp.int32))
-    big_point_overflow = (jnp.maximum(n_huge_actual - n_huge_cap, 0)
-                          + (n_big_actual - n_big_in_pool)
-                          + (n_mid_actual - n_mid_in_pool))
-
-    # per-entry emission inputs for all pools: one packed-table gather
-    # (5 int32 columns x (HUGE_CAP + BIG_CAP + MID_CAP) indices)
-    pool_ids = jnp.concatenate([huge_ids, big_ids, mid_ids])
+    # per-entry emission inputs for ALL pools: one packed-table gather
+    # (5 int32 columns x sum(pool capacities) indices)
+    pool_ids = jnp.concatenate(pool_id_parts)
     pool_tbl = jnp.stack([min_u, min_v, dv, depth_q, count_full],
-                         axis=0)[:, pool_ids]                  # (5, H+B+M)
-    bm_min_u, bm_min_v, bm_dv, bm_depth_q, bm_count = pool_tbl
-    sl_h = slice(0, n_huge_cap)
-    sl_b = slice(n_huge_cap, n_huge_cap + n_big_cap)
-    sl_m = slice(n_huge_cap + n_big_cap, None)
-
-    count_h = jnp.where(huge_active,
-                        jnp.minimum(bm_count[sl_h], t_h), 0)
-    slots_h = jnp.arange(t_h, dtype=jnp.int32)
-    keys_h = _emit_tier(slots_h, count_h, bm_min_u[sl_h], bm_min_v[sl_h],
-                        bm_dv[sl_h], bm_depth_q[sl_h], tiles_x, depth_bits)
-
-    count_b = jnp.where(big_active,
-                        jnp.minimum(bm_count[sl_b], t_b), 0)
-    slots_b = jnp.arange(t_b, dtype=jnp.int32)
-    keys_b = _emit_tier(slots_b, count_b, bm_min_u[sl_b],
-                        bm_min_v[sl_b], bm_dv[sl_b],
-                        bm_depth_q[sl_b], tiles_x, depth_bits)
-
-    count_m = jnp.where(mid_active, bm_count[sl_m], 0)
-    slots_m = jnp.arange(MID_SLOTS, dtype=jnp.int32)
-    keys_m = _emit_tier(slots_m, count_m, bm_min_u[sl_m],
-                        bm_min_v[sl_m], bm_dv[sl_m],
-                        bm_depth_q[sl_m], tiles_x, depth_bits)
+                         axis=0)[:, pool_ids]
+    tier_keys = []
+    tier_emitted = []
+    off = 0
+    for i, (s_i, cap_i) in enumerate(desc):
+        sl = slice(off, off + cap_i)
+        off += cap_i
+        cnt = jnp.where(active_parts[i],
+                        jnp.minimum(pool_tbl[4, sl], s_i), 0)
+        tier_emitted.append(jnp.sum(cnt))
+        slots_i = jnp.arange(s_i, dtype=jnp.int32)
+        tier_keys.append(_emit_tier(slots_i, cnt, pool_tbl[0, sl],
+                                    pool_tbl[1, sl], pool_tbl[2, sl],
+                                    pool_tbl[3, sl], tiles_x, depth_bits))
 
     # ---- flatten + pad + one packed sort ------------------------------
-    # Emission POSITION values stay contiguous per point (tier-A point i owns
-    # [2i, 2i+count); big entry b owns [2N + t_b*b, ...); mid entry m owns
-    # [2N + t_b*BIG_CAP + 4m, ...)) even though the memory layout is
-    # slot-major; the backward's segmented reduction keys off these values.
-    # Padding slots get a sentinel position so the sort-by-position
-    # compaction puts them after every real segment.
+    # Tier-A emission reads the (N,) columns directly (gather-free); every
+    # pool tier's keys come from the shared gathered table. Padding slots
+    # carry INT32_MAX keys and sort to the end.
     pt_a = jax.lax.broadcasted_iota(jnp.int32, (TIER_A_SLOTS, n), 1)
-    pad_len = (em_cap - TIER_A_SLOTS * n - t_h * n_huge_cap
-               - t_b * n_big_cap - MID_SLOTS * n_mid_cap)
+    pad_len = (em_cap - TIER_A_SLOTS * n
+               - sum(s * c for s, c in desc))
 
-    def _flatten(tier_a, tier_h, tier_b, tier_m, pad_value, dtype):
-        return jnp.concatenate([
-            tier_a.reshape(-1).astype(dtype),
-            tier_h.reshape(-1).astype(dtype),
-            tier_b.reshape(-1).astype(dtype),
-            tier_m.reshape(-1).astype(dtype),
-            jnp.full((pad_len,), pad_value, dtype)])
+    def _flatten(tier_a, tiers, pad_value, dtype):
+        return jnp.concatenate(
+            [tier_a.reshape(-1).astype(dtype)]
+            + [t.reshape(-1).astype(dtype) for t in tiers]
+            + [jnp.full((pad_len,), pad_value, dtype)])
 
-    flat_keys = _flatten(keys_a, keys_h, keys_b, keys_m, INT32_MAX,
-                         jnp.int32)
+    flat_keys = _flatten(keys_a, tier_keys, INT32_MAX, jnp.int32)
     # the point id rides through the sort as a payload: deriving it from the
     # emission position afterwards would need an (EM_CAP,) gather from the
     # pool tables, which is slow on TPU
-    flat_ids = _flatten(jnp.broadcast_to(pt_a, (TIER_A_SLOTS, n)),
-                        jnp.broadcast_to(huge_ids[None, :],
-                                         (t_h, n_huge_cap)),
-                        jnp.broadcast_to(big_ids[None, :], (t_b, n_big_cap)),
-                        jnp.broadcast_to(mid_ids[None, :],
-                                         (MID_SLOTS, n_mid_cap)),
-                        0, jnp.int32)
+    flat_ids = _flatten(
+        jnp.broadcast_to(pt_a, (TIER_A_SLOTS, n)),
+        [jnp.broadcast_to(ids_i[None, :], (s_i, cap_i))
+         for (s_i, cap_i), ids_i in zip(desc, pool_id_parts)],
+        0, jnp.int32)
     operands = [flat_keys, flat_ids]
     # UNSTABLE sort: XLA implements a stable TPU sort by adding a hidden
     # iota tiebreaker operand (visible in the optimized HLO comparator),
@@ -391,9 +406,9 @@ def bin_points_to_tiles(
     # per-point kept-key counts for the gradient routing's segment ends;
     # exact as long as no pool entry and no key was dropped (the routing
     # checks the overflow counters and falls back to a searchsorted).
-    # A huge-tier point keeps up to t_h keys, everything else up to t_b.
-    per_point_cap = jnp.where(is_huge, t_h, t_b) if use_huge else t_b
-    point_kept_keys = jnp.minimum(count_full, per_point_cap)
+    # Every point's tier has slots >= its count by construction except the
+    # largest tier, which truncates at s_max.
+    point_kept_keys = jnp.minimum(count_full, s_max)
 
     # one unrolled binary search for all tile boundaries: starts[t] and
     # ends[t] = starts[t+1] come from a single (num_tiles+1)-query search.
@@ -405,8 +420,9 @@ def bin_points_to_tiles(
     tile_starts = edges[:-1]
     tile_ends = edges[1:]
 
-    total_emitted = (jnp.sum(count_a) + jnp.sum(count_h)
-                     + jnp.sum(count_b) + jnp.sum(count_m))
+    total_emitted = jnp.sum(count_a)
+    for e in tier_emitted:
+        total_emitted = total_emitted + e
     key_overflow = jnp.maximum(total_emitted - mk, 0)
     sorted_tile_id = jnp.where(sorted_valid, sorted_key >> depth_bits,
                                num_tiles)

@@ -41,17 +41,22 @@ def test_auto_budgets_prevent_overflow():
 
     cfg = auto_capacity_config(pc, feats, invalid, obj, [(q, t)], cam, base,
                                headroom=1.2)
-    emitted, n_big, n_mid, n_huge, max_count = probe_workload(
+    emitted, pops, max_count = probe_workload(
         pc, feats, invalid, obj, [(q, t)], cam, base)
-    assert emitted > 0 and n_big > 0  # the fixture must exercise the pools
-    # pools actually fit the probed population with headroom
-    assert n // cfg.big_point_divisor >= n_big
-    assert n // cfg.mid_point_divisor >= n_mid
+    assert emitted > 0 and sum(pops) > 0  # the fixture exercises the pools
+    # the ladder covers every non-empty bucket with headroom
+    from taichi_3d_gaussian_splatting_tpu.ops.capacity import LADDER
+    assert cfg.pool_slots == tuple(sorted(cfg.pool_slots))
+    for hi, pop in zip(LADDER, pops):
+        if pop <= 0:
+            continue
+        covering = [c for s, c in zip(cfg.pool_slots, cfg.pool_caps)
+                    if s >= min(hi, cam.num_tiles)]
+        assert covering and covering[0] >= pop, (hi, pop, cfg.pool_slots)
+    # the largest probed bbox fits the top tier (no truncation)
+    assert max(cfg.pool_slots) >= min(max_count, cam.num_tiles)
     assert cfg.max_keys >= emitted
     assert cfg.max_keys % cfg.chunk == 0
-    if n_huge > 0:  # the size tail got its own tier
-        assert cfg.max_tiles_per_huge_point >= min(max_count, cam.num_tiles)
-        assert cfg.huge_pool_size >= n_huge
 
     result = rasterize(pc, feats, invalid, obj, q, t, cam, cfg)
     assert int(result.aux.key_overflow) == 0
@@ -142,3 +147,62 @@ def test_huge_tier_render_matches_wide_cap_render():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_w),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pool_ladder_render_matches_wide_cap_render():
+    """An explicit geometric pool ladder must render and differentiate
+    IDENTICALLY to one plainly-large tier - the ladder is a capacity
+    layout, not an approximation. Tie-free depths (one per quantization
+    bucket), overflow-free pools (CLAUDE.md)."""
+    import jax
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        rasterize_with_vjp)
+    h = w = 64
+    intr = np.array([[55.0, 0, w / 2], [0, 55.0, h / 2], [0, 0, 1]],
+                    np.float32)
+    cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
+    rng = np.random.default_rng(11)
+    n = 48
+    pc = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                   2.0 + 0.07 * np.arange(n)], 1).astype(np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    q = rng.normal(size=(n, 4))
+    feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # spread sizes across ladder buckets: tiny to full-grid
+    feats[:, 4:7] = rng.uniform(-3.0, 0.3, (n, 3))
+    feats[:, 7] = 1.0
+    for base_col in (8, 24, 40):
+        feats[:, base_col] = rng.uniform(-2, 2, n)
+    pc, feats = jnp.asarray(pc), jnp.asarray(feats)
+    invalid = jnp.zeros((n,), jnp.int8)
+    obj = jnp.zeros((n,), jnp.int32)
+    qc = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    tc = jnp.zeros((1, 3))
+
+    base = dict(near_plane=0.2, far_plane=100.0,
+                depth_to_sort_key_scale=100.0)
+    wide = RasterizerConfig(max_tiles_per_point=16,
+                            mid_point_divisor=1, big_point_divisor=1, **base)
+    ladder = RasterizerConfig(pool_slots=(4, 8, 16),
+                              pool_caps=(n, n, n), **base)
+
+    def run(cfg):
+        result, vjp_fn = rasterize_with_vjp(pc, feats, invalid, obj, qc, tc,
+                                            cam, cfg)
+        gp, gf, _ = vjp_fn(jnp.ones_like(result.image))
+        assert int(result.aux.tile_cap_overflow) == 0
+        assert int(result.aux.big_point_overflow) == 0
+        return result, gp, gf
+
+    r_w, gp_w, gf_w = run(wide)
+    r_l, gp_l, gf_l = run(ladder)
+    assert int(r_l.aux.total_keys) == int(r_w.aux.total_keys)
+    np.testing.assert_allclose(np.asarray(r_l.image), np.asarray(r_w.image),
+                               atol=1e-6)
+    # the routing re-sorts per-key gradients by point id; a different tier
+    # layout permutes equal-id rows, so per-point sums reassociate in f32
+    # (documented contract, ops/rasterizer.py) - tolerance covers that slack
+    np.testing.assert_allclose(np.asarray(gp_l), np.asarray(gp_w),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_l), np.asarray(gf_w),
+                               rtol=5e-4, atol=1e-5)
