@@ -102,6 +102,14 @@ class TrainConfig:
     # its dynamic allocation cannot overflow - our static budgets can, so
     # they are watched at a cadence, reference design note: SURVEY.md sec. 7)
     overflow_check_interval: int = 10
+    # derive the binning budgets (max_keys + pool ladder) from the initial
+    # scene at trainer init instead of hand-set YAML knobs: probes
+    # `auto_capacity_probe_views` dataset poses and applies
+    # `auto_capacity_headroom` (generous by default - densification grows
+    # the workload over training; the overflow guard watches the drift)
+    auto_capacity: bool = False
+    auto_capacity_headroom: float = 2.0
+    auto_capacity_probe_views: int = 4
     fail_on_capacity_overflow: bool = False
     # multi-chip data parallelism (beyond reference parity): views per
     # optimizer step, sharded over a 1-D device mesh. batch_size must be a
@@ -256,6 +264,9 @@ class GaussianPointCloudTrainer:
         self._overflow_strikes = 0
         self.key = jax.random.PRNGKey(config.seed)
 
+        if config.auto_capacity:
+            self._apply_auto_capacity()
+
         feat_lr = config.feature_learning_rate
         pos_base = config.position_learning_rate
         gamma = config.position_learning_rate_decay_rate
@@ -291,6 +302,33 @@ class GaussianPointCloudTrainer:
                 config.resume_from_checkpoint, state_template)
             (self.scene, self.opt_state_features, self.opt_state_positions,
              self.ctrl_state, self.key) = restored
+
+    def _apply_auto_capacity(self):
+        """Scene-derived binning budgets (reference design gap: its CUDA
+        pipeline allocates per frame; our static budgets come from a probe
+        of the initial scene over a few dataset poses, see
+        ops/capacity.py)."""
+        from ..ops.capacity import auto_capacity_config
+        config = self.config
+        k = max(min(config.auto_capacity_probe_views,
+                    len(self.train_dataset)), 1)
+        idxs = np.linspace(0, len(self.train_dataset) - 1, k).astype(int)
+        views = []
+        cam = None
+        for i in idxs:
+            item = self.train_dataset[int(i)]
+            cam = item.camera_info
+            views.append((jnp.asarray(item.q_pointcloud_camera),
+                          jnp.asarray(item.t_pointcloud_camera)))
+        config.rasterisation_config = auto_capacity_config(
+            self.scene.point_cloud, self.scene.point_cloud_features,
+            self.scene.point_invalid_mask, self.scene.point_object_id,
+            views, cam, config.rasterisation_config,
+            headroom=config.auto_capacity_headroom)
+        rc = config.rasterisation_config
+        print(f"auto_capacity: max_keys={rc.max_keys} "
+              f"pool_slots={rc.pool_slots} pool_caps={rc.pool_caps};",
+              flush=True)
 
     # ------------------------------------------------------------------
     # jitted step construction (one executable per image shape)
@@ -833,8 +871,8 @@ class GaussianPointCloudTrainer:
             msg = (f"tile-binning capacity overflow at iteration {iteration} "
                    f"(big_point_overflow={ovf:.0f}, key_overflow={kovf:.0f}, "
                    f"tile_cap_overflow={tovf:.0f}, keys={keys:.0f}); "
-                   f"lower rasterisation_config.big_point_divisor / "
-                   f"mid_point_divisor or raise max_keys/max_tiles_per_point")
+                   f"set auto_capacity: true (or raise max_keys / widen the "
+                   f"pool ladder) in the rasterisation config")
             print(f"WARNING: {msg}")
             self.logger.scalars(iteration, {
                 "train/overflow_strikes": self._overflow_strikes})

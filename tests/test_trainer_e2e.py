@@ -229,3 +229,42 @@ def test_trainer_end_to_end_multichip(tmp_path):
     assert losses[-1][1] < losses[0][1], losses
     assert os.path.exists(os.path.join(config.output_model_dir,
                                        "best_scene.parquet"))
+
+
+def test_trainer_auto_capacity(tmp_path):
+    """auto_capacity=True derives the binning budgets from the initial
+    scene (no hand-set max_keys / pool knobs) and trains without dropping
+    work on the probed views."""
+    train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
+    config = TrainConfig(
+        train_dataset_json_path=train_json,
+        val_dataset_json_path=val_json,
+        pointcloud_parquet_path=parquet,
+        num_iterations=6,
+        val_interval=5,
+        initial_downsample_factor=1,
+        log_loss_interval=2,
+        log_metrics_interval=5,
+        log_image_interval=10 ** 9,
+        save_full_checkpoint=False,
+        summary_writer_log_dir=str(tmp_path / "logs"),
+        auto_capacity=True,
+        auto_capacity_headroom=1.5,
+        rasterisation_config=RasterizerConfig(near_plane=0.1,
+                                              far_plane=100.0),
+        adaptive_controller_config=AdaptiveControllerConfig(
+            num_iterations_warm_up=100, num_iterations_densify=100),
+        gaussian_point_cloud_scene_config=SceneConfig(
+            max_num_points_ratio=2.0, initial_alpha=1.0),
+        loss_function_config=LossFunctionConfig(enable_regularization=False),
+    )
+    trainer = GaussianPointCloudTrainer(config)
+    rc = trainer.config.rasterisation_config
+    assert rc.pool_slots, "probe must install a pool ladder"
+    assert rc.max_keys % rc.chunk == 0
+    trainer.train()
+    # the overflow guard never fired (the synthetic views fit the budgets)
+    import json as _json
+    with open(tmp_path / "logs" / "metrics.jsonl") as f:
+        for line in f:
+            assert "train/overflow_strikes" not in _json.loads(line)
