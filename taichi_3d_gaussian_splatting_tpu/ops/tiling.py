@@ -119,16 +119,22 @@ def resolve_pools(n: int, num_tiles: int,
     if pool_slots:
         if len(pool_slots) != len(pool_caps):
             raise ValueError("pool_slots and pool_caps must pair up")
+        if list(pool_slots) != sorted(set(int(s) for s in pool_slots)) or \
+                int(pool_slots[0]) <= TIER_A_SLOTS:
+            raise ValueError(
+                f"pool_slots must be strictly ascending and > "
+                f"{TIER_A_SLOTS}; got {tuple(pool_slots)}")
         pools = []
-        prev = TIER_A_SLOTS
         for s, c in zip(pool_slots, pool_caps):
+            # a bbox can never exceed the whole grid; tiers collapsed by
+            # the clamp merge into one (their caps add), so an explicit
+            # ladder stays valid across image resolutions
             s = min(int(s), num_tiles)
-            if s <= prev:
-                raise ValueError(
-                    f"pool_slots must be ascending and > {TIER_A_SLOTS}; "
-                    f"got {tuple(pool_slots)} (grid has {num_tiles} tiles)")
-            pools.append((s, max(min(int(c), n), 1)))
-            prev = s
+            c = max(min(int(c), n), 1)
+            if pools and s <= pools[-1][0]:
+                pools[-1] = (pools[-1][0], min(pools[-1][1] + c, n))
+            else:
+                pools.append((s, c))
         return pools
     t_b = int(max_tiles_per_point)
     if t_b < MID_SLOTS:

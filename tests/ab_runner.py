@@ -69,9 +69,17 @@ def main():
                            depth_to_sort_key_scale=100.0)
     cam = make_camera()
     out = {}
+    # explicit pool-ladder layout (the auto_capacity path): same numerics
+    # contract through the generalized tier emission
+    cfg_ladder = RasterizerConfig(near_plane=0.1, far_plane=100.0,
+                                  max_keys=2048, pool_slots=(4, 8, 16),
+                                  pool_caps=(60, 60, 60),
+                                  depth_to_sort_key_scale=100.0)
     # scene "b" uses a high alpha so transmittance saturation actually
-    # triggers - the saturation latch semantics must agree bit-for-bit-ish
-    for seed, alpha, label in [(1, 2.0, "a"), (2, 7.0, "b")]:
+    # triggers - the saturation latch semantics must agree bit-for-bit-ish;
+    # scene "c" re-renders "a" through the ladder layout
+    for seed, alpha, label, cfg in [(1, 2.0, "a", cfg), (2, 7.0, "b", cfg),
+                                    (1, 2.0, "c", cfg_ladder)]:
         pc, feats = random_scene(60, seed=seed, alpha=alpha)
         n = pc.shape[0]
         # identity camera at origin -> camera depth == z; no two points may
