@@ -248,6 +248,10 @@ def main_full():
     n_views = int(os.environ.get("QB_FULL_VIEWS", "48"))
     n_init = int(os.environ.get("QB_FULL_POINTS", "30000"))
     ratio = float(os.environ.get("QB_FULL_RATIO", "6.0"))
+    # each distinct downsample factor is one full TPU-backend compile of the
+    # train step (25+ min each at this scale); QB_FULL_DOWNSAMPLE=1 trades
+    # the reference's coarse-to-fine warmup for two fewer compiles
+    downsample = int(os.environ.get("QB_FULL_DOWNSAMPLE", "4"))
     out_dir = os.environ.get("QB_OUT", "/tmp/quality_benchmark_full")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -304,7 +308,7 @@ def main_full():
         position_learning_rate_decay_rate=0.9947,
         position_learning_rate_decay_interval=100,
         increase_color_max_sh_band_interval=1000,
-        initial_downsample_factor=4,
+        initial_downsample_factor=downsample,
         half_downsample_factor_interval=250,
         log_loss_interval=100,
         log_metrics_interval=100,
