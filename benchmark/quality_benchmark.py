@@ -319,10 +319,16 @@ def main_full():
         rasterisation_config=RasterizerConfig(
             near_plane=0.4, far_plane=2000.0,
             depth_to_sort_key_scale=10.0,
-            max_tiles_per_point=32,
-            big_point_divisor=8,
-            mid_point_divisor=2,
-            max_keys=2 ** 21),
+            # budgets sized for the DENSIFIED scene (the init probe emits
+            # only ~32k keys; a comparable fully-trained 976x544 scene
+            # emits ~600k, see bench.py's 430k workload), with a ladder up
+            # to 256-tile splats for the background sphere's growth. The
+            # trainer's overflow guard reports any drift past these.
+            # Oversizing is not free: emission-buffer size drove the
+            # TPU-backend compile past 25 min per shape at max_keys=2^21
+            max_keys=2 ** int(os.environ.get("QB_FULL_MAX_KEYS_LOG2", "20")),
+            pool_slots=(4, 8, 16, 32, 64, 128, 256),
+            pool_caps=(65536, 16384, 8192, 4096, 2048, 512, 128)),
         adaptive_controller_config=AdaptiveControllerConfig(
             num_iterations_warm_up=1000,
             num_iterations_densify=100,
