@@ -90,11 +90,12 @@ def main():
     t_cam = jnp.zeros((1, 3))
     # capacity budgets derived from the scene itself (one cheap projection
     # probe), NOT hand-tuned to the workload; the dropped-work guard below
-    # still verifies. Headroom is tight (10%) because the probe pose IS the
-    # render pose - the budgets' cost is real (max_keys rows ride the blend
-    # slab gather at ~6 ns/row), so unneeded headroom directly costs FPS
+    # still verifies. Headroom is minimal (5%) because the probe pose IS
+    # the render pose - the budgets' cost is real (max_keys rows ride the
+    # blend slab gather at ~6 ns/row), so unneeded headroom directly costs
+    # FPS; the guard catches any probe-vs-render numeric drift loudly
     cfg = auto_capacity_config(pc, feats, invalid, obj,
-                               [(q_cam, t_cam)], cam, cfg, headroom=1.1)
+                               [(q_cam, t_cam)], cam, cfg, headroom=1.05)
 
     # chained timing: each call's input depends on the previous call's
     # output, so host-side dispatch through the axon tunnel cannot pipeline

@@ -48,9 +48,15 @@ def main():
     intr = np.array([[args.focal, 0, w / 2], [0, args.focal, h / 2],
                      [0, 0, 1]], np.float32)
     cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
-    cfg = RasterizerConfig(rgb_only=True)
     q = jnp.array([[0.0, 0.0, 0.0, 1.0]])
     t = jnp.zeros((1, 3))
+    # scene-derived budgets (max_keys + pool ladder) from a one-frame probe
+    from taichi_3d_gaussian_splatting_tpu.ops.capacity import (
+        auto_capacity_config)
+    cfg = auto_capacity_config(
+        scene.point_cloud, scene.point_cloud_features,
+        scene.point_invalid_mask, scene.point_object_id, [(q, t)], cam,
+        RasterizerConfig(rgb_only=True), headroom=1.1)
 
     fwd = jax.jit(lambda pc, feats: rasterize(
         pc, feats, scene.point_invalid_mask, scene.point_object_id,

@@ -96,7 +96,15 @@ class VisualizerState:
                         np.float32)
         self.cam = CameraInfo(camera_intrinsics=intr, camera_height=h,
                               camera_width=w)
-        self.raster_cfg = RasterizerConfig(rgb_only=True)
+        # scene-derived budgets from a probe at the initial pose; generous
+        # headroom because the user flies the camera anywhere (the
+        # rasterizer's overflow counters stay the backstop)
+        from taichi_3d_gaussian_splatting_tpu.ops.capacity import (
+            auto_capacity_config)
+        self.raster_cfg = auto_capacity_config(
+            self.pc, self.feats, invalid, self.obj,
+            [(jnp.array([[0.0, 0.0, 0.0, 1.0]]), jnp.zeros((1, 3)))],
+            self.cam, RasterizerConfig(rgb_only=True), headroom=3.0)
         # per-object camera pose q, t (xyzw) - reference: visualizer.py:60-76
         self.reset()
         self.selected = None  # None = camera
