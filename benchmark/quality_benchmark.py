@@ -96,6 +96,17 @@ def _summarize(out_dir, meta):
                              round(rec.get("val/ssim", 0.0), 4)))
             if "value/num_valid_points" in rec:
                 npts = rec["value/num_valid_points"]
+    if npts < 0:
+        # densify never logged (short run / warm-up): count the final scene
+        try:
+            import glob
+            import pandas as pd
+            scenes = sorted(glob.glob(os.path.join(out_dir, "logs",
+                                                   "scene_*.parquet")),
+                            key=os.path.getmtime)
+            npts = len(pd.read_parquet(scenes[-1]))
+        except Exception:
+            pass
     best = max(t[1] for t in traj)
     final = traj[-1]
     meta.update({
@@ -267,8 +278,12 @@ def main_full():
     from taichi_3d_gaussian_splatting_tpu.training.loss import (
         LossFunctionConfig)
 
-    h, w = 544, 976  # reference render/benchmark resolution
-    f = 581.743      # reference intrinsics (gaussian_point_render.py:26-27)
+    # reference render/benchmark resolution + intrinsics
+    # (gaussian_point_render.py:26-27); QB_FULL_RES=WxH overrides for
+    # cheap plumbing smokes (focal scales with width)
+    w, h = (int(x) for x in
+            os.environ.get("QB_FULL_RES", "976x544").split("x"))
+    f = 581.743 * (w / 976.0)
     intr = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
 
     img_dir = os.path.join(out_dir, "images")

@@ -25,6 +25,14 @@ __version__ = "0.1.0"
 # T3DGS_NO_COMPILE_CACHE=1.
 import os as _os
 
+# T3DGS_FORCE_CPU=1 pins the CPU backend (the axon TPU plugin overrides a
+# bare JAX_PLATFORMS env var, so scripts need this config-level escape
+# hatch; tests/conftest.py does the same thing directly)
+if _os.environ.get("T3DGS_FORCE_CPU"):
+    import jax as _jax_cpu
+
+    _jax_cpu.config.update("jax_platforms", "cpu")
+
 if not _os.environ.get("T3DGS_NO_COMPILE_CACHE"):
     import jax as _jax
 
