@@ -266,3 +266,41 @@ def test_depth_key_precision_matches_reference_ordering():
     assert (np.asarray(b2.sorted_depth_key)[valid2]
             == (1 << depth_bits) - 1).all()
     assert (np.asarray(b2.sorted_tile_id)[valid2] == 0).all()
+
+
+def test_resolve_pools_edges():
+    """Ladder resolution: legacy-knob derivation, clamping merges, and
+    validation failures."""
+    import pytest
+    from taichi_3d_gaussian_splatting_tpu.ops.tiling import (
+        MID_SLOTS, resolve_pools, emission_capacity_pools)
+
+    # legacy: mid + big (+ huge when enabled and roomy)
+    assert resolve_pools(1600, 10_000, max_tiles_per_point=32,
+                         big_point_divisor=16, mid_point_divisor=4) == [
+        (4, 400), (32, 100)]
+    assert resolve_pools(1600, 10_000, max_tiles_per_point=32,
+                         big_point_divisor=16, mid_point_divisor=4,
+                         max_tiles_per_huge_point=128,
+                         huge_pool_size=64) == [(4, 400), (32, 100),
+                                                (128, 64)]
+    # huge tier collapsed by a small grid is dropped
+    assert resolve_pools(1600, 20, max_tiles_per_point=32,
+                         big_point_divisor=16, mid_point_divisor=4,
+                         max_tiles_per_huge_point=128, huge_pool_size=64
+                         ) == [(4, 400), (20, 100)]
+    # explicit ladder: clamped tiers merge, caps add (stays valid at any res)
+    assert resolve_pools(100, 4, pool_slots=(4, 8, 16),
+                         pool_caps=(10, 20, 30)) == [(4, 60)]
+    # caps clamp to n
+    assert resolve_pools(8, 10_000, pool_slots=(4,), pool_caps=(99,)) == [
+        (4, 8)]
+    with pytest.raises(ValueError):
+        resolve_pools(100, 100, pool_slots=(8, 4), pool_caps=(1, 1))
+    with pytest.raises(ValueError):
+        resolve_pools(100, 100, pool_slots=(2,), pool_caps=(1,))
+    with pytest.raises(ValueError):
+        resolve_pools(100, 100, max_tiles_per_point=MID_SLOTS - 1)
+    # emission capacity is chunk-rounded and covers tier A + the ladder
+    ec = emission_capacity_pools(100, [(4, 10), (32, 5)], chunk=128)
+    assert ec >= 2 * 100 + 4 * 10 + 32 * 5 and ec % 128 == 0
