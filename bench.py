@@ -16,11 +16,42 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 63.1  # reference: benchmark/README.md:24 (15.84 ms)
+
+
+def ensure_device_available(timeout_s: float) -> None:
+    """Fail fast (and honestly) when the TPU tunnel is wedged.
+
+    The axon backend can wedge for hours after a killed mid-compile client
+    (see CLAUDE.md); `jax.devices()` then blocks forever, which would hang
+    the whole benchmark driver. Probe backend init in a subprocess with a
+    bound; on failure emit an explicit zero-value record instead of a
+    number measured on the wrong backend or an infinite hang."""
+    probe = ("import jax; jax.devices(); "
+             "import jax.numpy as jnp; "
+             "(jnp.ones((8, 128)) * 2).block_until_ready()")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return
+        detail = r.stderr.decode(errors="replace")[-300:]
+    except subprocess.TimeoutExpired:
+        detail = f"backend init exceeded {timeout_s:.0f}s (tunnel wedged?)"
+    print(json.dumps({
+        "metric": "render_fps_976x544",
+        "value": 0.0,
+        "unit": "fps",
+        "vs_baseline": 0.0,
+        "error": f"device unavailable: {detail}",
+    }), flush=True)
+    raise SystemExit(2)
 
 
 def load_scene():
@@ -65,6 +96,8 @@ def load_scene():
 
 
 def main():
+    ensure_device_available(float(os.environ.get("BENCH_PROBE_TIMEOUT",
+                                                 "300")))
     import jax
     import jax.numpy as jnp
     from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
