@@ -25,31 +25,73 @@ import numpy as np
 BASELINE_FPS = 63.1  # reference: benchmark/README.md:24 (15.84 ms)
 
 
+def _bench_metric_name() -> str:
+    """The headline metric name, identical for success and error records so
+    drivers keying on the name correlate both with the historical series."""
+    n = int(os.environ.get(
+        "BENCH_POINTS",
+        "1030000" if os.environ.get("BENCH_SCENE_KIND", "") == "heavy"
+        else "430000"))
+    return f"render_fps_976x544_{round(n / 1000)}k_points"
+
+
 def ensure_device_available(timeout_s: float) -> None:
     """Fail fast (and honestly) when the TPU tunnel is wedged.
 
     The axon backend can wedge for hours after a killed mid-compile client
     (see CLAUDE.md); `jax.devices()` then blocks forever, which would hang
     the whole benchmark driver. Probe backend init in a subprocess with a
-    bound; on failure emit an explicit zero-value record instead of a
-    number measured on the wrong backend or an infinite hang."""
-    probe = ("import jax; jax.devices(); "
+    bound. The probe asserts the platform is really TPU (if the axon plugin
+    fails to load, jax silently falls back to CPU and every number would be
+    measured on the wrong backend). On failure emit an explicit zero-value
+    record instead of a wrong number or an infinite hang.
+
+    Kill discipline (CLAUDE.md: killing a blocked axon client can wedge the
+    tunnel ~15 min, and killed probes extend an existing wedge): before
+    declaring the device unavailable, check the advisory lockfile - a live
+    local TPU job means "chip busy", not "tunnel wedged", and we bail
+    WITHOUT ever starting (or killing) a probe. On probe timeout we send one
+    SIGTERM, give it a grace period to unwind, and never SIGKILL."""
+    from taichi_3d_gaussian_splatting_tpu.utils import device_lock
+    h = device_lock.holder()
+    if h and h != os.getpid():
+        detail = (f"chip busy: local TPU job pid={h} holds "
+                  f"{device_lock.LOCK_PATH}; not probing")
+        _emit_error_record(detail)
+    probe = ("import jax; d = jax.devices(); "
+             "assert d[0].platform == 'tpu', "
+             "f'wrong backend: {d[0].platform}'; "
              "import jax.numpy as jnp; "
              "(jnp.ones((8, 128)) * 2).block_until_ready()")
+    proc = subprocess.Popen([sys.executable, "-c", probe],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.PIPE)
     try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           timeout=timeout_s, capture_output=True)
-        if r.returncode == 0:
+        _, err = proc.communicate(timeout=timeout_s)
+        if proc.returncode == 0:
             return
-        detail = r.stderr.decode(errors="replace")[-300:]
+        detail = err.decode(errors="replace")[-300:]
     except subprocess.TimeoutExpired:
-        detail = f"backend init exceeded {timeout_s:.0f}s (tunnel wedged?)"
+        # single SIGTERM + grace, never SIGKILL: an orphaned blocked client
+        # left alive is cheaper than extending a wedge with a hard kill
+        proc.terminate()
+        try:
+            proc.communicate(timeout=15)
+            tail = "probe exited after SIGTERM"
+        except subprocess.TimeoutExpired:
+            tail = f"probe pid={proc.pid} left running (not killed)"
+        detail = (f"backend init exceeded {timeout_s:.0f}s "
+                  f"(tunnel wedged?); {tail}")
+    _emit_error_record(f"device unavailable: {detail}")
+
+
+def _emit_error_record(detail: str) -> None:
     print(json.dumps({
-        "metric": "render_fps_976x544",
+        "metric": _bench_metric_name(),
         "value": 0.0,
         "unit": "fps",
         "vs_baseline": 0.0,
-        "error": f"device unavailable: {detail}",
+        "error": detail,
     }), flush=True)
     raise SystemExit(2)
 
@@ -98,6 +140,8 @@ def load_scene():
 def main():
     ensure_device_available(float(os.environ.get("BENCH_PROBE_TIMEOUT",
                                                  "300")))
+    from taichi_3d_gaussian_splatting_tpu.utils import device_lock
+    device_lock.acquire()
     import jax
     import jax.numpy as jnp
     from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
@@ -172,6 +216,11 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        # dropped-work counters carried inline so the recorded JSON itself
+        # proves the FPS renders everything (0s = nothing truncated)
+        "key_overflow": int(probe.aux.key_overflow),
+        "big_point_overflow": int(probe.aux.big_point_overflow),
+        "tile_cap_overflow": int(probe.aux.tile_cap_overflow),
     }
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
@@ -189,6 +238,7 @@ def main():
             print(f"WARNING: train-step benchmark failed: {exc}",
                   file=sys.stderr)
     print(json.dumps(record), flush=True)
+    device_lock.release()
 
 
 def measure_train_step(pc, feats, cam):

@@ -576,6 +576,11 @@ class GaussianPointCloudTrainer:
     def train(self):
         config = self.config
         ctrl_cfg = config.adaptive_controller_config
+        if jax.devices()[0].platform == "tpu":
+            # advisory chip lock: lets other tools (bench.py) distinguish
+            # "chip busy with this training job" from "tunnel wedged"
+            from ..utils import device_lock
+            device_lock.acquire()
         use_cache = config.cache_dataset_on_device
         loader = None
         data_iter = None
