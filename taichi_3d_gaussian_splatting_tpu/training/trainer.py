@@ -111,6 +111,13 @@ class TrainConfig:
     auto_capacity_headroom: float = 2.0
     auto_capacity_probe_views: int = 4
     fail_on_capacity_overflow: bool = False
+    # self-healing capacity: when the overflow guard sees 3 consecutive bad
+    # checks (densification outgrew the budgets), re-probe the CURRENT scene
+    # and rebuild the jitted steps with grown budgets instead of warning
+    # forever / dying. Costs one full recompile per recovery (minutes on the
+    # TPU backend at production scale - see benchmark/README.md), so budgets
+    # only ever grow (monotonic merge) to prevent recompile churn.
+    capacity_recovery: bool = True
     # multi-chip data parallelism (beyond reference parity): views per
     # optimizer step, sharded over a 1-D device mesh. batch_size must be a
     # multiple of the mesh size; 1 keeps the reference's single-view step.
@@ -881,13 +888,47 @@ class GaussianPointCloudTrainer:
             print(f"WARNING: {msg}")
             self.logger.scalars(iteration, {
                 "train/overflow_strikes": self._overflow_strikes})
-            if (self.config.fail_on_capacity_overflow
-                    and self._overflow_strikes >= 3):
-                raise RuntimeError(
-                    f"capacity overflow persisted for "
-                    f"{self._overflow_strikes} consecutive checks: {msg}")
+            if self._overflow_strikes >= 3:
+                # explicit fail-fast wins over self-healing (CI gates want
+                # a hard error, not a recompile)
+                if self.config.fail_on_capacity_overflow:
+                    raise RuntimeError(
+                        f"capacity overflow persisted for "
+                        f"{self._overflow_strikes} consecutive checks: {msg}")
+                if self.config.capacity_recovery:
+                    self._recover_capacity(iteration)
         else:
             self._overflow_strikes = 0
+
+    def _recover_capacity(self, iteration: int):
+        """Self-healing capacity: the scene outgrew its binning budgets
+        (densification added points/size the init-time probe never saw), so
+        re-probe the CURRENT scene and rebuild the jitted steps. Budgets only
+        grow (monotonic merge with the previous ladder) - a pose-dependent
+        probe dip must not shrink them back and churn recompiles. The
+        reference never needs this: its CUDA pipeline allocates per frame
+        (reference: GaussianPointCloudRasterisation.py:927-931)."""
+        old = self.config.rasterisation_config
+        self._apply_auto_capacity()  # re-probes self.scene as it is NOW
+        new = self.config.rasterisation_config
+        merged = dict(zip(new.pool_slots, new.pool_caps))
+        for s, c in zip(old.pool_slots, old.pool_caps):
+            merged[s] = max(merged.get(s, 0), c)
+        slots = tuple(sorted(merged))
+        self.config.rasterisation_config = dataclasses.replace(
+            new, max_keys=max(new.max_keys, old.max_keys),
+            pool_slots=slots, pool_caps=tuple(merged[s] for s in slots))
+        rc = self.config.rasterisation_config
+        print(f"capacity recovery at iteration {iteration}: rebuilt budgets "
+              f"from the densified scene (max_keys {old.max_keys}->"
+              f"{rc.max_keys}, pools {old.pool_slots}/{old.pool_caps} -> "
+              f"{rc.pool_slots}/{rc.pool_caps}); recompiling step functions",
+              flush=True)
+        self.logger.scalars(iteration, {
+            "train/capacity_recovery_max_keys": rc.max_keys})
+        self._step_fns.clear()  # raw steps close over the old config
+        self._grad_scale = jnp.asarray(_grad_group_scale(rc))
+        self._overflow_strikes = 0
 
     def _log_densify_scatter(self, iteration: int, point_uv, counts, cam):
         """Floater / over- / under-reconstructed scatter in image space at

@@ -1,0 +1,90 @@
+"""Self-healing capacity: a scene that outgrows its binning budgets must
+recover with ONE re-probe + recompile and continue with zero dropped work.
+
+The reference never faces this (its CUDA pipeline allocates the key buffer
+per frame, reference: GaussianPointCloudRasterisation.py:927-931); our
+static budgets can be outgrown by densification, so the trainer re-derives
+them from the live scene when the overflow guard trips persistently
+(training/trainer.py:_recover_capacity).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_trainer_e2e import _make_synthetic_dataset  # noqa: E402
+
+from taichi_3d_gaussian_splatting_tpu.models.scene import SceneConfig
+from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import RasterizerConfig
+from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+    GaussianPointCloudTrainer, TrainConfig)
+from taichi_3d_gaussian_splatting_tpu.training.controller import (
+    AdaptiveControllerConfig)
+from taichi_3d_gaussian_splatting_tpu.training.loss import LossFunctionConfig
+
+
+@pytest.mark.slow
+def test_capacity_recovery_end_to_end(tmp_path):
+    train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
+    config = TrainConfig(
+        train_dataset_json_path=train_json,
+        val_dataset_json_path=val_json,
+        pointcloud_parquet_path=parquet,
+        num_iterations=41,
+        val_interval=10 ** 6,
+        initial_downsample_factor=1,
+        log_loss_interval=5,
+        log_image_interval=10 ** 9,
+        save_full_checkpoint=False,
+        overflow_check_interval=5,
+        capacity_recovery=True,
+        summary_writer_log_dir=str(tmp_path / "logs"),
+        rasterisation_config=RasterizerConfig(
+            near_plane=0.1, far_plane=100.0, max_tiles_per_point=8,
+            # deliberately undersized pool ladder: the many multi-tile
+            # splats from the huge init covariance cannot all fit, so
+            # big_point_overflow > 0 on every early check
+            big_point_divisor=10 ** 6, mid_point_divisor=10 ** 6),
+        adaptive_controller_config=AdaptiveControllerConfig(
+            num_iterations_warm_up=10 ** 6,
+            num_iterations_reset_alpha=10 ** 6),
+        gaussian_point_cloud_scene_config=SceneConfig(
+            max_num_points_ratio=1.5, initial_alpha=1.0,
+            initial_covariance_ratio=50.0, max_initial_covariance=100.0),
+        loss_function_config=LossFunctionConfig(enable_regularization=False),
+    )
+    trainer = GaussianPointCloudTrainer(config)
+    old_rc = config.rasterisation_config
+    trainer.train()  # must NOT raise: recovery instead of warn-or-die
+
+    new_rc = trainer.config.rasterisation_config
+    # budgets grew from the live-scene re-probe (monotonic merge)
+    assert new_rc is not old_rc
+    assert sum(new_rc.pool_caps) > sum(old_rc.pool_caps), (
+        old_rc.pool_caps, new_rc.pool_caps)
+    assert new_rc.max_keys >= old_rc.max_keys
+
+    # before recovery: dropped work; after: ZERO dropped work
+    recovery_iter = None
+    overflow_by_iter = {}
+    with open(os.path.join(config.summary_writer_log_dir,
+                           "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train/capacity_recovery_max_keys" in rec:
+                recovery_iter = rec["iteration"]
+            if "train/big_point_overflow" in rec:
+                overflow_by_iter[rec["iteration"]] = (
+                    rec["train/big_point_overflow"]
+                    + rec.get("train/key_overflow", 0.0)
+                    + rec["train/tile_cap_overflow"])
+    assert recovery_iter is not None, "recovery never triggered"
+    pre = [v for it, v in overflow_by_iter.items() if it <= recovery_iter]
+    post = [v for it, v in overflow_by_iter.items() if it > recovery_iter]
+    assert pre and max(pre) > 0, overflow_by_iter
+    assert post and max(post) == 0, overflow_by_iter
+    # exactly one recompile cycle: strikes reset, no further escalation
+    assert trainer._overflow_strikes == 0
