@@ -121,6 +121,12 @@ def main_quick():
     res = int(os.environ.get("QB_RES", "128"))
     n_views = int(os.environ.get("QB_VIEWS", "48"))
     iters = int(os.environ.get("QB_ITERS", "2000"))
+    # QB_BATCH > 1 trains batch_size views per optimizer step, sharded over
+    # QB_MESH devices (the virtual CPU mesh in benchmark/batch_parity.py;
+    # ICI on real multi-chip). Gradients are SUMMED over the batch
+    # (parallel/sharding.py convention).
+    batch = int(os.environ.get("QB_BATCH", "1"))
+    mesh = int(os.environ.get("QB_MESH", "0"))
     out_dir = os.environ.get("QB_OUT", "/tmp/quality_benchmark")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -206,6 +212,8 @@ def main_quick():
         val_dataset_json_path=os.path.join(out_dir, "val.json"),
         pointcloud_parquet_path=parquet,
         num_iterations=iters,
+        batch_size=batch,
+        mesh_devices=mesh,
         val_interval=max(iters // 8, 100),
         feature_learning_rate=0.01,
         position_learning_rate=2e-4,
@@ -245,6 +253,7 @@ def main_quick():
     _summarize(out_dir, {
         "metric": "synthetic_holdout_psnr",
         "resolution": res, "views": n_views, "iterations": iters,
+        "batch_size": batch,
         "holdout_views": n_val,
     })
 
