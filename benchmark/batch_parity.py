@@ -28,6 +28,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def run(tag, iters, batch, mesh, res, views):
+    cache = f"/tmp/batch_parity_{tag}.json"
+    if os.environ.get("BP_REUSE", "1") == "1" and os.path.exists(cache):
+        rec = json.load(open(cache))
+        print(json.dumps({"run": tag, "cached": True, **rec}), flush=True)
+        return rec
     env = dict(
         os.environ,
         T3DGS_FORCE_CPU="1",
@@ -46,6 +51,7 @@ def run(tag, iters, batch, mesh, res, views):
         raise SystemExit(f"{tag} run failed")
     rec = json.loads([ln for ln in r.stdout.splitlines()
                       if ln.startswith("{")][-1])
+    json.dump(rec, open(cache, "w"))
     print(json.dumps({"run": tag, **rec}), flush=True)
     return rec
 
@@ -54,9 +60,18 @@ def main():
     res = int(os.environ.get("BP_RES", "64"))
     views = int(os.environ.get("BP_VIEWS", "24"))
     iters = int(os.environ.get("BP_ITERS", "1600"))
+    only = os.environ.get("BP_ONLY", "both")
     assert iters % 8 == 0
-    single = run("single", iters, 1, 0, res, views)
-    batch8 = run("batch8", iters // 8, 8, 8, res, views)
+    # NOTE: 8 virtual CPU devices on few cores can starve XLA's in-process
+    # collective rendezvous (hard 40 s timeout -> fatal crash); run the
+    # batch-8 leg on an otherwise idle machine. Legs cache their results in
+    # /tmp/batch_parity_<tag>.json so they can run in separate invocations.
+    single = run("single", iters, 1, 0, res, views) \
+        if only in ("both", "single") else None
+    batch8 = run("batch8", iters // 8, 8, 8, res, views) \
+        if only in ("both", "batch8") else None
+    if single is None or batch8 is None:
+        return
     print(json.dumps({
         "metric": "batch8_vs_single_holdout_psnr_delta",
         "value": round(batch8["value"] - single["value"], 2),

@@ -161,6 +161,34 @@ def _grad_group_scale(config: RasterizerConfig) -> np.ndarray:
     return scale
 
 
+def _escalate_budgets(rc, big_ovf: float, key_ovf: float, tile_ovf: bool,
+                      n: int):
+    """Forced budget growth when a capacity re-probe cannot reproduce the
+    overflow (the probe samples a few poses; the drops happen on others).
+    Grows only the dimension whose counter fired:
+
+    - big_point_overflow: points beyond their pool's capacity -> double
+      every pool cap (clamped to the scene capacity);
+    - key_overflow: emitted keys beyond max_keys -> max_keys x 1.5;
+    - tile_cap_overflow above threshold: bboxes truncated at the largest
+      slot size -> append a tier with double the top slot count (clamped to
+      the tile-grid size downstream at resolve time, ops/tiling.py).
+    """
+    caps = rc.pool_caps
+    slots = rc.pool_slots
+    max_keys = rc.max_keys
+    if big_ovf > 0 and caps:
+        caps = tuple(min(2 * c, n) for c in caps)
+    if key_ovf > 0:
+        chunk = int(rc.chunk)
+        max_keys = ((int(max_keys * 1.5) + chunk - 1) // chunk) * chunk
+    if tile_ovf and slots:
+        slots = slots + (2 * slots[-1],)
+        caps = caps + (max(caps[-1] if caps else 64, 64),)
+    return dataclasses.replace(rc, max_keys=max_keys, pool_slots=slots,
+                               pool_caps=caps)
+
+
 def _downsample_item(item: DatasetItem, factor: int) -> DatasetItem:
     """Host-side image/camera downsample (reference: :97-116)."""
     if factor <= 1:
@@ -269,6 +297,8 @@ class GaussianPointCloudTrainer:
         self.loss_fn = LossFunction(config.loss_function_config)
         self.best_psnr_score = 0.0
         self._overflow_strikes = 0
+        self._overflow_ignore_until = -1
+        self._last_flush_iteration = -1
         self.key = jax.random.PRNGKey(config.seed)
 
         if config.auto_capacity:
@@ -819,6 +849,9 @@ class GaussianPointCloudTrainer:
         config = self.config
         if not pending:
             return False
+        # everything up to the newest pending iteration was dispatched with
+        # the CURRENT step functions (the loop flushes synchronously)
+        self._last_flush_iteration = pending[-1][0]
         fetched = jax.device_get([m for _, m, _ in pending])
         any_problematic = False
         # the host runs ahead of the device (async dispatch), so a single
@@ -873,6 +906,14 @@ class GaussianPointCloudTrainer:
         three consecutive bad checks instead of silently degrading for the
         remaining iterations.
         """
+        if iteration <= self._overflow_ignore_until:
+            # counters measured before the last recovery's rebuilt step
+            # took effect (the deferred-metrics flush runs up to
+            # log_loss_interval iterations behind dispatch) - acting on
+            # them would recompile again for nothing (observed on the
+            # round-4 campaign: a no-op recovery 60 iterations after the
+            # real one, fed entirely by stale pre-rebuild counters)
+            return
         ovf = float(metrics["big_point_overflow"])
         kovf = float(metrics.get("key_overflow", 0.0))
         tovf = float(metrics["tile_cap_overflow"])
@@ -896,11 +937,13 @@ class GaussianPointCloudTrainer:
                         f"capacity overflow persisted for "
                         f"{self._overflow_strikes} consecutive checks: {msg}")
                 if self.config.capacity_recovery:
-                    self._recover_capacity(iteration)
+                    self._recover_capacity(iteration, ovf, kovf,
+                                           tovf > 0.05 * keys)
         else:
             self._overflow_strikes = 0
 
-    def _recover_capacity(self, iteration: int):
+    def _recover_capacity(self, iteration: int, big_ovf: float = 0.0,
+                          key_ovf: float = 0.0, tile_ovf: bool = False):
         """Self-healing capacity: the scene outgrew its binning budgets
         (densification added points/size the init-time probe never saw), so
         re-probe the CURRENT scene and rebuild the jitted steps. Budgets only
@@ -915,10 +958,18 @@ class GaussianPointCloudTrainer:
         for s, c in zip(old.pool_slots, old.pool_caps):
             merged[s] = max(merged.get(s, 0), c)
         slots = tuple(sorted(merged))
-        self.config.rasterisation_config = dataclasses.replace(
+        rc = dataclasses.replace(
             new, max_keys=max(new.max_keys, old.max_keys),
             pool_slots=slots, pool_caps=tuple(merged[s] for s in slots))
-        rc = self.config.rasterisation_config
+        if (rc.max_keys == old.max_keys and rc.pool_slots == old.pool_slots
+                and rc.pool_caps == old.pool_caps):
+            # the probe poses never see the overflowing frames (it samples
+            # a few dataset views), yet the counters prove work IS being
+            # dropped - force growth along the dimension that overflowed
+            # or recovery would recompile an identical program forever
+            rc = _escalate_budgets(rc, big_ovf, key_ovf, tile_ovf,
+                                   self.scene.capacity)
+        self.config.rasterisation_config = rc
         print(f"capacity recovery at iteration {iteration}: rebuilt budgets "
               f"from the densified scene (max_keys {old.max_keys}->"
               f"{rc.max_keys}, pools {old.pool_slots}/{old.pool_caps} -> "
@@ -929,6 +980,9 @@ class GaussianPointCloudTrainer:
         self._step_fns.clear()  # raw steps close over the old config
         self._grad_scale = jnp.asarray(_grad_group_scale(rc))
         self._overflow_strikes = 0
+        # counters for iterations dispatched before this rebuild are stale;
+        # the deferred flush is at most one log_loss_interval behind
+        self._overflow_ignore_until = self._last_flush_iteration
 
     def _log_densify_scatter(self, iteration: int, point_uv, counts, cam):
         """Floater / over- / under-reconstructed scatter in image space at

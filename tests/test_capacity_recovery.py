@@ -26,6 +26,47 @@ from taichi_3d_gaussian_splatting_tpu.training.controller import (
 from taichi_3d_gaussian_splatting_tpu.training.loss import LossFunctionConfig
 
 
+def test_escalate_budgets_grows_the_firing_dimension():
+    """When the re-probe can't see the overflowing poses, recovery must
+    still grow the budgets the counters prove are short (observed on the
+    round-4 campaign: a probe-blind no-op recovery)."""
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+        _escalate_budgets)
+    rc = RasterizerConfig(max_keys=1024, pool_slots=(4, 16),
+                          pool_caps=(100, 10))
+    n = 150
+    grown = _escalate_budgets(rc, big_ovf=5, key_ovf=0, tile_ovf=False, n=n)
+    assert grown.pool_caps == (150, 20)  # doubled, clamped to n
+    assert grown.max_keys == 1024 and grown.pool_slots == (4, 16)
+    grown = _escalate_budgets(rc, big_ovf=0, key_ovf=9, tile_ovf=False, n=n)
+    assert grown.max_keys == 1536 and grown.pool_caps == (100, 10)
+    grown = _escalate_budgets(rc, big_ovf=0, key_ovf=0, tile_ovf=True, n=n)
+    assert grown.pool_slots == (4, 16, 32)
+    assert grown.pool_caps == (100, 10, 64)
+
+
+def test_overflow_checks_skip_stale_pre_recovery_counters():
+    """Counters flushed for iterations dispatched before a recovery's
+    rebuild must not feed strikes (they'd trigger a no-op recompile)."""
+    trainer = GaussianPointCloudTrainer.__new__(GaussianPointCloudTrainer)
+    trainer.config = TrainConfig(capacity_recovery=False,
+                                 fail_on_capacity_overflow=False)
+    trainer._overflow_strikes = 0
+    trainer._overflow_ignore_until = 120
+
+    class _NullLogger:
+        def scalars(self, *a, **k):
+            pass
+    trainer.logger = _NullLogger()
+    bad = {"big_point_overflow": 9.0, "key_overflow": 0.0,
+           "tile_cap_overflow": 0.0, "total_keys": 100.0}
+    trainer._check_capacity_overflow(110, bad)   # stale: ignored
+    trainer._check_capacity_overflow(120, bad)   # boundary: ignored
+    assert trainer._overflow_strikes == 0
+    trainer._check_capacity_overflow(130, bad)   # fresh: counts
+    assert trainer._overflow_strikes == 1
+
+
 @pytest.mark.slow
 def test_capacity_recovery_end_to_end(tmp_path):
     train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
