@@ -157,7 +157,11 @@ def main():
     cam = CameraInfo(camera_intrinsics=intr, camera_height=h, camera_width=w)
     cfg = RasterizerConfig(near_plane=0.4, far_plane=1000.0,
                            max_tiles_per_point=32,
-                           rgb_only=True)
+                           rgb_only=True,
+                           # blend chunk rows: avg tile segment ~270 keys,
+                           # so chunk=64 halves padding waste vs 128 (the
+                           # prepared round-3 experiment; BENCH_CHUNK ab's it)
+                           chunk=int(os.environ.get("BENCH_CHUNK", "128")))
 
     pc, feats = load_scene()
     n = pc.shape[0]
