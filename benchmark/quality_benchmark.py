@@ -340,16 +340,21 @@ def main_full():
         log_validation_image=False,
         save_full_checkpoint=False,
         summary_writer_log_dir=os.path.join(out_dir, "logs"),
+        # scene-derived budgets + self-healing: auto_capacity probes the
+        # INITIAL scene (emits only ~32k keys at 976x544); densification
+        # grows the workload ~15x, so the capacity_recovery path re-probes
+        # the live scene and recompiles when the overflow guard trips (the
+        # round-4 campaign measured exactly this: hand-set budgets
+        # overflowed at iteration ~2040, one recovery grew the ladder, zero
+        # dropped work afterwards). QB_FULL_AUTO=0 falls back to the
+        # hand-set round-3 ladder. Oversizing is not free either way:
+        # emission-buffer size drove the TPU-backend compile past 25 min
+        # per shape at max_keys=2^21
+        auto_capacity=os.environ.get("QB_FULL_AUTO", "1") == "1",
+        auto_capacity_headroom=4.0,
         rasterisation_config=RasterizerConfig(
             near_plane=0.4, far_plane=2000.0,
             depth_to_sort_key_scale=10.0,
-            # budgets sized for the DENSIFIED scene (the init probe emits
-            # only ~32k keys; a comparable fully-trained 976x544 scene
-            # emits ~600k, see bench.py's 430k workload), with a ladder up
-            # to 256-tile splats for the background sphere's growth. The
-            # trainer's overflow guard reports any drift past these.
-            # Oversizing is not free: emission-buffer size drove the
-            # TPU-backend compile past 25 min per shape at max_keys=2^21
             max_keys=2 ** int(os.environ.get("QB_FULL_MAX_KEYS_LOG2", "20")),
             pool_slots=(4, 8, 16, 32, 64, 128, 256),
             pool_caps=(65536, 16384, 8192, 4096, 2048, 512, 128)),

@@ -340,14 +340,14 @@ class GaussianPointCloudTrainer:
             (self.scene, self.opt_state_features, self.opt_state_positions,
              self.ctrl_state, self.key) = restored
 
-    def _apply_auto_capacity(self):
+    def _apply_auto_capacity(self, probe_views: int = 0):
         """Scene-derived binning budgets (reference design gap: its CUDA
         pipeline allocates per frame; our static budgets come from a probe
         of the initial scene over a few dataset poses, see
         ops/capacity.py)."""
         from ..ops.capacity import auto_capacity_config
         config = self.config
-        k = max(min(config.auto_capacity_probe_views,
+        k = max(min(probe_views or config.auto_capacity_probe_views,
                     len(self.train_dataset)), 1)
         idxs = np.linspace(0, len(self.train_dataset) - 1, k).astype(int)
         views = []
@@ -952,7 +952,11 @@ class GaussianPointCloudTrainer:
         reference never needs this: its CUDA pipeline allocates per frame
         (reference: GaussianPointCloudRasterisation.py:927-931)."""
         old = self.config.rasterisation_config
-        self._apply_auto_capacity()  # re-probes self.scene as it is NOW
+        # re-probe self.scene as it is NOW, over more poses than the init
+        # probe: mid-run overflow is usually pose-dependent (the round-4
+        # campaign overflowed on frames the 4-view probe never saw)
+        self._apply_auto_capacity(probe_views=max(
+            self.config.auto_capacity_probe_views, 16))
         new = self.config.rasterisation_config
         merged = dict(zip(new.pool_slots, new.pool_caps))
         for s, c in zip(old.pool_slots, old.pool_caps):
