@@ -302,17 +302,29 @@ def main_full():
     for vi in range(n_views):
         elev = (0.38, 0.18, 0.55)[vi % 3]  # three elevation rings
         T = orbit_pose(2 * np.pi * vi / n_views + 0.05 * (vi % 3), elev)
-        img = render_view(T, intr, h, w)
-        path = os.path.join(img_dir, f"v{vi:03d}.png")
-        PIL.Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        path = os.path.join(img_dir, f"v{vi:03d}_{w}x{h}.png")
+        # GT views are deterministic in (vi, n_views, w, h) - poses don't
+        # consume the rng - so pre-rendered images (the ray tracer costs
+        # ~22 s/view at 976x544 on this rig's single CPU) are reusable
+        # across restarts; the filename carries the resolution key
+        if not os.path.exists(path):
+            img = render_view(T, intr, h, w)
+            tmp_path = path + ".tmp.png"
+            PIL.Image.fromarray((img * 255).astype(np.uint8)).save(tmp_path)
+            os.replace(tmp_path, path)
+            print(f"rendered GT view {vi + 1}/{n_views}", flush=True)
+        else:
+            print(f"reusing GT view {vi + 1}/{n_views}", flush=True)
         records.append({
             "image_path": path,
             "T_pointcloud_camera": T.tolist(),
             "camera_intrinsics": intr.tolist(),
             "camera_height": h, "camera_width": w, "camera_id": 0,
         })
-        print(f"rendered GT view {vi + 1}/{n_views}", flush=True)
     n_train, n_val = _write_dataset(records, out_dir)
+    if os.environ.get("QB_GT_ONLY", "0") == "1":
+        print("QB_GT_ONLY=1: ground-truth views written, exiting", flush=True)
+        return None
 
     pc, rgb = sample_init_points(n_init, rng)
     parquet = os.path.join(out_dir, "point_cloud.parquet")

@@ -959,7 +959,19 @@ class GaussianPointCloudTrainer:
             self.config.auto_capacity_probe_views, 16))
         new = self.config.rasterisation_config
         merged = dict(zip(new.pool_slots, new.pool_caps))
-        for s, c in zip(old.pool_slots, old.pool_caps):
+        # merge against the old config's RESOLVED ladder: a legacy config
+        # (empty pool_slots) still binned through real divisor-derived tiers
+        # (resolve_pools), and merging against the raw empty tuples would
+        # let a small probed ladder silently SHRINK effective capacity below
+        # what training already used (observed: a toy e2e run's loss rose
+        # after recovery replaced the legacy tiers with a tighter ladder)
+        from ..ops.tiling import resolve_pools
+        old_pools = resolve_pools(
+            self.scene.capacity, 1 << 30, old.max_tiles_per_point,
+            old.big_point_divisor, old.mid_point_divisor,
+            old.max_tiles_per_huge_point, old.huge_pool_size,
+            old.pool_slots, old.pool_caps)
+        for s, c in old_pools:
             merged[s] = max(merged.get(s, 0), c)
         slots = tuple(sorted(merged))
         rc = dataclasses.replace(

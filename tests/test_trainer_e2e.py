@@ -143,7 +143,17 @@ def test_trainer_end_to_end(tmp_path):
         log_image_interval=10**9,
         summary_writer_log_dir=str(tmp_path / "logs"),
         rasterisation_config=RasterizerConfig(
-            near_plane=0.1, far_plane=100.0, max_tiles_per_point=16),
+            # budgets sized so NOTHING overflows: this test pins clean
+            # convergence; the guard and self-healing paths have their own
+            # tests (test_capacity_overflow_fails_loudly,
+            # tests/test_capacity_recovery.py). With the legacy divisor
+            # defaults the big-splat init overflowed the mid pool, and the
+            # round-4 self-healing recovery then GREW capacity at iteration
+            # 20 - previously-dropped splats started rendering mid-run and
+            # the loss trajectory stepped upward, which this assertion
+            # would misread as divergence
+            near_plane=0.1, far_plane=100.0, max_tiles_per_point=16,
+            mid_point_divisor=1, big_point_divisor=2),
         adaptive_controller_config=AdaptiveControllerConfig(
             num_iterations_warm_up=10, num_iterations_densify=20,
             num_iterations_reset_alpha=10 ** 6,
@@ -204,7 +214,9 @@ def test_trainer_end_to_end_multichip(tmp_path):
         log_image_interval=10 ** 9,
         summary_writer_log_dir=str(tmp_path / "logs"),
         rasterisation_config=RasterizerConfig(
-            near_plane=0.1, far_plane=100.0, max_tiles_per_point=16),
+            # overflow-free budgets, same rationale as test_trainer_end_to_end
+            near_plane=0.1, far_plane=100.0, max_tiles_per_point=16,
+            mid_point_divisor=1, big_point_divisor=2),
         adaptive_controller_config=AdaptiveControllerConfig(
             num_iterations_warm_up=10, num_iterations_densify=20,
             num_iterations_reset_alpha=10 ** 6,
