@@ -129,3 +129,54 @@ def test_capacity_recovery_end_to_end(tmp_path):
     assert post and max(post) == 0, overflow_by_iter
     # exactly one recompile cycle: strikes reset, no further escalation
     assert trainer._overflow_strikes == 0
+
+
+def test_recovery_merge_covers_resolved_legacy_pools():
+    """A recovery probe on a legacy config (empty pool_slots) must merge
+    against the RESOLVED divisor-derived tiers, not the raw empty tuples -
+    otherwise a small probed ladder silently SHRINKS effective capacity
+    below what training already binned with (regression: a toy e2e run's
+    loss stepped up after recovery replaced the legacy tiers)."""
+    from taichi_3d_gaussian_splatting_tpu.ops.tiling import resolve_pools
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+        GaussianPointCloudTrainer)
+
+    trainer = GaussianPointCloudTrainer.__new__(GaussianPointCloudTrainer)
+    n = 160
+    old_rc = RasterizerConfig(max_keys=4096, max_tiles_per_point=16,
+                              mid_point_divisor=4, big_point_divisor=16)
+    trainer.config = TrainConfig(rasterisation_config=old_rc,
+                                 capacity_recovery=True)
+    trainer._overflow_strikes = 3
+    trainer._overflow_ignore_until = -1
+    trainer._last_flush_iteration = 10
+    trainer._step_fns = {"stale": None}
+
+    class _Scene:
+        capacity = n
+    trainer.scene = _Scene()
+
+    class _NullLogger:
+        def scalars(self, *a, **k):
+            pass
+    trainer.logger = _NullLogger()
+
+    # the probe sees a tiny workload: a ladder far below the legacy tiers
+    def fake_probe(probe_views=0):
+        trainer.config.rasterisation_config = RasterizerConfig(
+            max_keys=512, pool_slots=(4,), pool_caps=(8,))
+    trainer._apply_auto_capacity = fake_probe
+
+    trainer._recover_capacity(iteration=20, big_ovf=5.0)
+    rc = trainer.config.rasterisation_config
+
+    legacy = dict(resolve_pools(
+        n, 1 << 30, old_rc.max_tiles_per_point, old_rc.big_point_divisor,
+        old_rc.mid_point_divisor, old_rc.max_tiles_per_huge_point,
+        old_rc.huge_pool_size))
+    merged = dict(zip(rc.pool_slots, rc.pool_caps))
+    for slots, cap in legacy.items():
+        assert merged.get(slots, 0) >= cap, (legacy, merged)
+    assert rc.max_keys >= old_rc.max_keys
+    assert not trainer._step_fns  # rebuilt
+    assert trainer._overflow_strikes == 0
