@@ -47,6 +47,12 @@ class CameraInfo:
             f"camera_width must be a multiple of {TILE_WIDTH}")
         assert self.camera_height % TILE_HEIGHT == 0, (
             f"camera_height must be a multiple of {TILE_HEIGHT}")
+        # a sub-tile camera yields an empty tile grid, which surfaces deep
+        # inside the blend kernel as an opaque shape error (observed when a
+        # coarse-to-fine downsample shrank a toy image below 16x16)
+        assert self.num_tiles >= 1, (
+            f"camera {self.camera_width}x{self.camera_height} is smaller "
+            f"than one {TILE_WIDTH}x{TILE_HEIGHT} tile")
 
     def rescaled(self, scale_x: float, scale_y: float) -> np.ndarray:
         intr = np.array(self.camera_intrinsics, dtype=np.float32).copy()
