@@ -55,6 +55,8 @@ class PointAttributes(NamedTuple):
     in_frustum: jnp.ndarray         # (N,) bool
     radius_x: jnp.ndarray = None    # per-axis 3 sigma extents (marginals);
     radius_y: jnp.ndarray = None    # the binning's tighter bbox
+    nonfinite_points: jnp.ndarray = None  # () count of in-frustum points
+    #   culled because an attribute went inf/NaN (numeric containment)
 
     # ---- convenience views (materialize small stacked arrays on demand;
     # used by tests / the jnp oracle, not the hot path) ----
@@ -326,6 +328,25 @@ def compute_point_attributes(
                   & (v >= -bh) & (v < camera_info.camera_height + bh)
                   & (point_invalid_mask.astype(jnp.int32) == 0))
 
+    # ---- numeric containment: cull non-finite splats ----
+    # A single degenerate point (e.g. a scale collapsed far enough that the
+    # projected covariance underflows, or a parameter poisoned by a bad
+    # optimizer step) must not NaN the blended image: one NaN pixel makes
+    # the loss NaN, one NaN loss makes EVERY gradient NaN, and one poisoned
+    # Adam step destroys the whole scene (observed: a 30k campaign lost
+    # 131k -> 4k points in ~1k iterations after a single non-finite loss).
+    # Culling here stops the poison at its source - the point simply does
+    # not render this frame - and the count is surfaced so the trainer's
+    # guard can report it. The reference has no equivalent (a NaN there
+    # propagates until the controller prunes NaN features at the next
+    # densify cadence, reference: GaussianPointAdaptiveController.py:205).
+    finite = jnp.isfinite(u) & jnp.isfinite(v) & jnp.isfinite(zc)
+    for col in (conic_a, conic_b, conic_c, rescale, alpha_act,
+                color_r, color_g, color_b, radius_x, radius_y):
+        finite = finite & jnp.isfinite(col)
+    nonfinite_points = jnp.sum((in_frustum & ~finite).astype(jnp.int32))
+    in_frustum = in_frustum & finite
+
     return PointAttributes(
         u=u, v=v, depth=zc,
         conic_a=conic_a, conic_b=conic_b, conic_c=conic_c, rescale=rescale,
@@ -333,4 +354,5 @@ def compute_point_attributes(
         color_r=color_r, color_g=color_g, color_b=color_b,
         radii=radii, in_frustum=in_frustum,
         radius_x=radius_x, radius_y=radius_y,
+        nonfinite_points=nonfinite_points,
     )

@@ -99,6 +99,7 @@ class RasterizerAux(NamedTuple):
     big_point_overflow: jnp.ndarray   # () int32
     tile_cap_overflow: jnp.ndarray    # () int32
     pixel_accumulated_alpha: jnp.ndarray  # (H, W)
+    nonfinite_points: jnp.ndarray = None  # () int32 culled non-finite splats
 
 
 class RasterizeResult(NamedTuple):
@@ -383,6 +384,7 @@ def _result_from_tile_out(tile_out, attrs, binning, camera_info):
         big_point_overflow=binning.big_point_overflow,
         tile_cap_overflow=binning.tile_cap_overflow,
         pixel_accumulated_alpha=acc_alpha,
+        nonfinite_points=attrs.nonfinite_points,
     )
     return RasterizeResult(image=image, depth=depth,
                            pixel_valid_point_count=count, aux=aux)

@@ -139,6 +139,7 @@ def make_data_parallel_train_step(
                         result.aux.big_point_overflow,
                         result.aux.tile_cap_overflow,
                         result.aux.total_keys,
+                        result.aux.nonfinite_points,
                         stats.grad_viewspace,
                         stats.magnitude_grad_viewspace,
                         stats.num_affected_pixels,
@@ -160,12 +161,13 @@ def make_data_parallel_train_step(
         (grad_pc, grad_feats, ctrl_local, last_maps), ys = jax.lax.scan(
             view_grads, init, (images, qs, ts, intrinsics))
         (losses, l1s, ssims, psnrs, key_ovf, big_ovf, cap_ovf, tot_keys,
-         gv, mag, npix, in_fr, pdepth, puv) = ys
+         nonfin, gv, mag, npix, in_fr, pdepth, puv) = ys
 
         # combine across chips: the collectives ride ICI
         grad_pc = jax.lax.psum(grad_pc, axis_name)
         grad_feats = jax.lax.psum(grad_feats, axis_name)
         # controller accumulators: sum each chip's local additions
+        ctrl_state_before = ctrl_state
         ctrl_state = jax.tree.map(
             lambda old, new: old + jax.lax.psum(new - old, axis_name),
             ctrl_state, ctrl_local)
@@ -205,12 +207,35 @@ def make_data_parallel_train_step(
             jax.lax.psum(m * is_last.astype(m.dtype), axis_name)
             for m in last_maps)
 
-        updates_f, opt_feat = feature_optimizer.update(grad_feats, opt_feat,
-                                                       feats)
+        # numeric containment, exactly as the single-chip step
+        # (training/trainer.py): zero non-finite per-point gradient rows
+        # (0-cotangent x inf-jacobian at culled degenerate splats), skip the
+        # whole update when any view's loss is non-finite (the summed image
+        # poison would destroy every parameter in one Adam step)
+        feat_row_ok = jnp.all(jnp.isfinite(grad_feats), axis=1,
+                              keepdims=True)
+        pc_row_ok = jnp.all(jnp.isfinite(grad_pc), axis=1, keepdims=True)
+        nonfinite_grad_rows = jnp.sum(
+            (~feat_row_ok[:, 0] | ~pc_row_ok[:, 0]).astype(jnp.int32))
+        grad_feats = jnp.where(feat_row_ok, grad_feats, 0.0)
+        grad_pc = jnp.where(pc_row_ok, grad_pc, 0.0)
+        loss_ok = jnp.isfinite(loss_mean)
+
+        def _keep_if_ok(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(loss_ok, a, b),
+                                new, old)
+
+        updates_f, new_opt_feat = feature_optimizer.update(
+            grad_feats, opt_feat, feats)
         new_feats = jax.tree.map(jnp.add, feats, updates_f)
-        updates_p, opt_pos = position_optimizer.update(grad_pc, opt_pos,
-                                                       scene.point_cloud)
+        updates_p, new_opt_pos = position_optimizer.update(
+            grad_pc, opt_pos, scene.point_cloud)
         new_pc = jax.tree.map(jnp.add, scene.point_cloud, updates_p)
+        new_feats = _keep_if_ok(new_feats, feats)
+        new_pc = _keep_if_ok(new_pc, scene.point_cloud)
+        opt_feat = _keep_if_ok(new_opt_feat, opt_feat)
+        opt_pos = _keep_if_ok(new_opt_pos, opt_pos)
+        ctrl_state = _keep_if_ok(ctrl_state, ctrl_state_before)
         scene = scene._replace(point_cloud=new_pc,
                                point_cloud_features=new_feats)
         metrics = {
@@ -220,6 +245,9 @@ def make_data_parallel_train_step(
             "big_point_overflow": jax.lax.psum(jnp.sum(big_ovf), axis_name),
             "tile_cap_overflow": jax.lax.psum(jnp.sum(cap_ovf), axis_name),
             "total_keys": jax.lax.psum(jnp.sum(tot_keys), axis_name),
+            "nonfinite_points": jax.lax.psum(jnp.sum(nonfin), axis_name),
+            "nonfinite_grad_rows": nonfinite_grad_rows,
+            "skipped_nonfinite_step": 1 - loss_ok.astype(jnp.int32),
         }
         densify_inputs = (last_stats, last_in_frustum, last_depth, last_uv)
         return (scene, opt_feat, opt_pos, ctrl_state, metrics,

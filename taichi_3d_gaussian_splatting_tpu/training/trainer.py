@@ -40,6 +40,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import json
+import math
 import os
 import time
 from functools import partial
@@ -532,17 +533,47 @@ class GaussianPointCloudTrainer:
             grad_feats = grad_feats_raster * grad_scale * band_mask \
                 + g_feats_direct
 
-            updates_f, opt_feat = feature_optimizer.update(
+            # ---- numeric containment (training/trainer.py layer of the
+            # defense started in ops/projection.py) ----
+            # Per-point: a culled degenerate splat's VJP can still emit
+            # 0-cotangent x inf-jacobian = NaN rows; zero them so one bad
+            # point cannot poison its own Adam moments (it keeps training
+            # from its last finite state or gets pruned by the controller).
+            feat_row_ok = jnp.all(jnp.isfinite(grad_feats), axis=1,
+                                  keepdims=True)
+            pc_row_ok = jnp.all(jnp.isfinite(grad_pc), axis=1, keepdims=True)
+            nonfinite_grad_rows = jnp.sum(
+                (~feat_row_ok[:, 0] | ~pc_row_ok[:, 0]).astype(jnp.int32))
+            grad_feats = jnp.where(feat_row_ok, grad_feats, 0.0)
+            grad_pc = jnp.where(pc_row_ok, grad_pc, 0.0)
+            # Whole-step: a non-finite LOSS means the image itself is
+            # poisoned (every gradient with it); applying that update once
+            # destroyed a 30k campaign (one NaN loss -> all params NaN ->
+            # NaN-pruning ate 131k of 135k points). Skip the update and the
+            # controller-statistics accumulation entirely for this step.
+            loss_ok = jnp.isfinite(loss)
+
+            updates_f, new_opt_feat = feature_optimizer.update(
                 grad_feats, opt_feat, feats)
             new_feats = optax.apply_updates(feats, updates_f)
-            updates_p, opt_pos = position_optimizer.update(
+            updates_p, new_opt_pos = position_optimizer.update(
                 grad_pc, opt_pos, scene.point_cloud)
             new_pc = optax.apply_updates(scene.point_cloud, updates_p)
 
+            def _keep_if_ok(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(loss_ok, a, b), new, old)
+
+            new_feats = _keep_if_ok(new_feats, feats)
+            new_pc = _keep_if_ok(new_pc, scene.point_cloud)
+            opt_feat = _keep_if_ok(new_opt_feat, opt_feat)
+            opt_pos = _keep_if_ok(new_opt_pos, opt_pos)
+
             new_scene = scene._replace(point_cloud=new_pc,
                                        point_cloud_features=new_feats)
-            ctrl_state = update_stats(ctrl_state, stats, grad_pc,
-                                      result.aux.in_frustum)
+            ctrl_state = _keep_if_ok(
+                update_stats(ctrl_state, stats, grad_pc,
+                             result.aux.in_frustum), ctrl_state)
             metrics = {
                 "loss": loss, "l1": l1, "ssim_loss": ld_ssim,
                 "psnr": psnr_fn(img, image_gt),
@@ -551,6 +582,9 @@ class GaussianPointCloudTrainer:
                 "key_overflow": result.aux.key_overflow,
                 "tile_cap_overflow": result.aux.tile_cap_overflow,
                 "total_keys": result.aux.total_keys,
+                "nonfinite_points": result.aux.nonfinite_points,
+                "nonfinite_grad_rows": nonfinite_grad_rows,
+                "skipped_nonfinite_step": 1 - loss_ok.astype(jnp.int32),
             }
             densify_inputs = (stats, result.aux.in_frustum,
                               result.aux.point_depth, result.aux.point_uv)
@@ -869,6 +903,31 @@ class GaussianPointCloudTrainer:
                 if loss_value > avg_loss * 1.5:
                     any_problematic = True
                     self._previous_problematic_iteration = iteration
+            # numeric-containment telemetry (the in-jit guards already
+            # culled / zeroed / skipped; this makes the event loud). A
+            # non-finite loss never trips the 1.5x spike detector above
+            # (NaN comparisons are False), so flag it explicitly.
+            nonfin = (vals.get("nonfinite_points", 0.0)
+                      + vals.get("nonfinite_grad_rows", 0.0)
+                      + vals.get("skipped_nonfinite_step", 0.0))
+            if nonfin > 0 or not math.isfinite(loss_value):
+                any_problematic = True
+                self._previous_problematic_iteration = iteration
+                print(f"WARNING: numeric containment at iteration "
+                      f"{iteration}: culled_points="
+                      f"{vals.get('nonfinite_points', 0.0):.0f} "
+                      f"zeroed_grad_rows="
+                      f"{vals.get('nonfinite_grad_rows', 0.0):.0f} "
+                      f"skipped_step="
+                      f"{vals.get('skipped_nonfinite_step', 0.0):.0f} "
+                      f"loss={loss_value}", flush=True)
+                self.logger.scalars(iteration, {
+                    "train/nonfinite_points":
+                        vals.get("nonfinite_points", 0.0),
+                    "train/nonfinite_grad_rows":
+                        vals.get("nonfinite_grad_rows", 0.0),
+                    "train/skipped_nonfinite_step":
+                        vals.get("skipped_nonfinite_step", 0.0)})
             if iteration % config.overflow_check_interval == 0:
                 self._check_capacity_overflow(iteration, vals)
             if iteration % config.log_loss_interval == 0:
