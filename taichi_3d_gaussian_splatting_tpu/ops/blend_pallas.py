@@ -84,7 +84,7 @@ GROW_NUM_PIXELS = 12   # number of pixels this key contributed to
 
 PIXELS_PER_TILE = TILE_WIDTH * TILE_HEIGHT  # 256
 
-ALPHA_SKIP_THRESHOLD = 1.0 / 255.0
+from .gaussian import ALPHA_SKIP_THRESHOLD  # noqa: F401 (canonical constant)
 ALPHA_CLAMP = 0.99
 TRANSMITTANCE_SATURATION = 1e-4
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..camera import CameraInfo, TILE_WIDTH, TILE_HEIGHT
 
-ALPHA_SKIP_THRESHOLD = 1.0 / 255.0
+from .gaussian import ALPHA_SKIP_THRESHOLD  # noqa: F401 (canonical constant)
 ALPHA_CLAMP = 0.99
 TRANSMITTANCE_SATURATION = 1e-4
 

@@ -37,6 +37,12 @@ NUM_FEATURES = 56
 # Gaussian is at least ~1 pixel wide (reference: utils.py:261-265).
 COV_LOW_PASS = 0.3
 
+# The blend skips (and passes no gradient through) any per-pixel
+# contribution below this (reference: GaussianPointCloudRasterisation.py:451).
+# Canonical definition; the blend kernels, the oracle, and the projection's
+# opacity-aware extent bound all key off the same constant.
+ALPHA_SKIP_THRESHOLD = 1.0 / 255.0
+
 
 def _mat3_vec(R, v):
     """Batched 3x3 @ 3 as hand-expanded elementwise ops.

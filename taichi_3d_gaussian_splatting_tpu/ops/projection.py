@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import CameraInfo, TILE_WIDTH, TILE_HEIGHT, BOUNDARY_TILES
-from .gaussian import COV_LOW_PASS
+from .gaussian import ALPHA_SKIP_THRESHOLD, COV_LOW_PASS
 from .transforms import (
     quaternion_normalize,
     rotation_matrix_from_quaternion,
@@ -53,8 +53,8 @@ class PointAttributes(NamedTuple):
     color_b: jnp.ndarray
     radii: jnp.ndarray              # 3 sqrt(lambda_max) (reference parity)
     in_frustum: jnp.ndarray         # (N,) bool
-    radius_x: jnp.ndarray = None    # per-axis 3 sigma extents (marginals);
-    radius_y: jnp.ndarray = None    # the binning's tighter bbox
+    radius_x: jnp.ndarray = None    # per-axis extents (3-sigma marginals,
+    radius_y: jnp.ndarray = None    # opacity-bounded); the binning's bbox
     nonfinite_points: jnp.ndarray = None  # () count of in-frustum points
     #   culled because an attribute went inf/NaN (numeric containment)
 
@@ -286,6 +286,31 @@ def compute_point_attributes(
 
     alpha_act = jax.nn.sigmoid(feats_t[7])
 
+    # ---- opacity-aware extent bound (exact wrt the blend's skip gate) ----
+    # The blend skips any contribution rescale*alpha*exp(-q/2) < 1/255
+    # (ALPHA_SKIP_THRESHOLD, reference: :451), passing no gradient through
+    # skipped pairs. Pixels beyond the Mahalanobis radius r_eff where the
+    # peak decays to that threshold therefore can never blend, so keys for
+    # tiles wholly beyond r_eff are pure overhead: culling them changes
+    # neither the image nor any gradient. r_eff^2 = 2 ln(255 * peak),
+    # capped at the reference's own 3-sigma box (which truncates opaque
+    # splats above the threshold; we keep that coverage identical). The
+    # marginal extents for {d : d^T conic d <= r^2} use the FILTERED
+    # variances (fa, fc), the matrix the blend's conic actually inverts -
+    # that makes the bound conservative even where the reference's
+    # unfiltered 3-sigma box slightly under-covers small splats. Trained
+    # scenes keep a large translucent population (alpha ~ 0.05-0.2 after
+    # pruning threshold 0.005), where r_eff ~ 2.2-2.7 cuts key counts
+    # 20-45% per splat; fully-invisible splats (peak < 1/255) emit nothing.
+    peak = jax.lax.stop_gradient(rescale * alpha_act)
+    r_eff = jnp.sqrt(jnp.maximum(
+        2.0 * jnp.log(255.0 * jnp.maximum(peak, 1e-30)), 0.0))
+    radius_x = jnp.minimum(radius_x,
+                           r_eff * jnp.sqrt(jnp.maximum(fa, 0.0)))
+    radius_y = jnp.minimum(radius_y,
+                           r_eff * jnp.sqrt(jnp.maximum(fc, 0.0)))
+    visible = peak >= ALPHA_SKIP_THRESHOLD
+
     # ---- SH color along camera->point ray (reference: :302-308) ----
     dx = px - ox
     dy = py - oy
@@ -345,7 +370,12 @@ def compute_point_attributes(
                 color_r, color_g, color_b, radius_x, radius_y):
         finite = finite & jnp.isfinite(col)
     nonfinite_points = jnp.sum((in_frustum & ~finite).astype(jnp.int32))
-    in_frustum = in_frustum & finite
+    # invisible splats (peak contribution below the blend's skip gate) emit
+    # no keys at all; the reference emits their keys and then skips every
+    # pixel, with zero gradient either way (see r_eff above). Applied AFTER
+    # the nonfinite count: a NaN peak must register as nonfinite, not hide
+    # behind the visibility cull.
+    in_frustum = in_frustum & finite & visible
 
     return PointAttributes(
         u=u, v=v, depth=zc,
