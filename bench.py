@@ -24,6 +24,16 @@ import numpy as np
 
 BASELINE_FPS = 63.1  # reference: benchmark/README.md:24 (15.84 ms)
 
+# scale-appropriate reference bars for the heavy benchmarks: the reference
+# posts 13.41 ms at 1.03M and 15.01 ms at 2.08M points on an RTX 3090
+# (reference: benchmark/README.md:3,8,31-32). vs_baseline compares against
+# the bar for the measured point count so the record is self-describing.
+BASELINE_FPS_BY_POINTS = {1030000: 1000.0 / 13.41, 2080000: 1000.0 / 15.01}
+
+
+def _baseline_fps(n_points: int) -> float:
+    return BASELINE_FPS_BY_POINTS.get(n_points, BASELINE_FPS)
+
 
 def _bench_metric_name() -> str:
     """The headline metric name, identical for success and error records so
@@ -219,7 +229,7 @@ def main():
         "metric": f"render_fps_976x544_{round(n / 1000)}k_points",
         "value": round(fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / _baseline_fps(n), 3),
         # dropped-work counters carried inline so the recorded JSON itself
         # proves the FPS renders everything (0s = nothing truncated)
         "key_overflow": int(probe.aux.key_overflow),
