@@ -28,11 +28,19 @@ BASELINE_FPS = 63.1  # reference: benchmark/README.md:24 (15.84 ms)
 # posts 13.41 ms at 1.03M and 15.01 ms at 2.08M points on an RTX 3090
 # (reference: benchmark/README.md:3,8,31-32). vs_baseline compares against
 # the bar for the measured point count so the record is self-describing.
-BASELINE_FPS_BY_POINTS = {1030000: 1000.0 / 13.41, 2080000: 1000.0 / 15.01}
+BASELINE_FPS_BY_POINTS = {430000: BASELINE_FPS,
+                          1030000: 1000.0 / 13.41, 2080000: 1000.0 / 15.01}
 
 
 def _baseline_fps(n_points: int) -> float:
-    return BASELINE_FPS_BY_POINTS.get(n_points, BASELINE_FPS)
+    """Reference bar for the NEAREST published point count: an off-grid
+    BENCH_POINTS must not silently compare against the 430k bar (the
+    record carries baseline_points so the ratio is self-describing)."""
+    return BASELINE_FPS_BY_POINTS[_baseline_points(n_points)]
+
+
+def _baseline_points(n_points: int) -> int:
+    return min(BASELINE_FPS_BY_POINTS, key=lambda k: abs(k - n_points))
 
 
 def _bench_metric_name() -> str:
@@ -230,6 +238,7 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / _baseline_fps(n), 3),
+        "baseline_points": _baseline_points(n),
         # dropped-work counters carried inline so the recorded JSON itself
         # proves the FPS renders everything (0s = nothing truncated)
         "key_overflow": int(probe.aux.key_overflow),

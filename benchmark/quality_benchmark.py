@@ -302,11 +302,13 @@ def main_full():
     for vi in range(n_views):
         elev = (0.38, 0.18, 0.55)[vi % 3]  # three elevation rings
         T = orbit_pose(2 * np.pi * vi / n_views + 0.05 * (vi % 3), elev)
-        path = os.path.join(img_dir, f"v{vi:03d}_{w}x{h}.png")
+        path = os.path.join(img_dir, f"v{vi:03d}_of{n_views}_{w}x{h}.png")
         # GT views are deterministic in (vi, n_views, w, h) - poses don't
         # consume the rng - so pre-rendered images (the ray tracer costs
         # ~22 s/view at 976x544 on this rig's single CPU) are reusable
-        # across restarts; the filename carries the resolution key
+        # across restarts; the filename carries the FULL determinism key
+        # including n_views (the pose angle is 2*pi*vi/n_views, so a rerun
+        # with a different QB_FULL_VIEWS must not reuse stale poses)
         if not os.path.exists(path):
             img = render_view(T, intr, h, w)
             tmp_path = path + ".tmp.png"

@@ -54,7 +54,7 @@ def _probe_counts(pointcloud, pointcloud_features, point_invalid_mask,
         near_plane, far_plane, None)
     min_u, max_u, min_v, max_v = tile_bbox(attrs.u, attrs.v, attrs.radius_x,
                                            attrs.radius_y, camera_info)
-    count = jnp.where(attrs.in_frustum, (max_u - min_u) * (max_v - min_v), 0)
+    count = jnp.where(attrs.emit, (max_u - min_u) * (max_v - min_v), 0)
     emitted = jnp.sum(count)
     lo = TIER_A_SLOTS
     pops = []

@@ -52,11 +52,16 @@ class PointAttributes(NamedTuple):
     color_g: jnp.ndarray
     color_b: jnp.ndarray
     radii: jnp.ndarray              # 3 sqrt(lambda_max) (reference parity)
-    in_frustum: jnp.ndarray         # (N,) bool
+    in_frustum: jnp.ndarray         # (N,) bool, PURE frustum & valid mask —
+    #   the reference's point_in_camera_mask (reference: :31-78); feeds the
+    #   adaptive controller's accumulated_num_in_camera statistics
     radius_x: jnp.ndarray = None    # per-axis extents (3-sigma marginals,
     radius_y: jnp.ndarray = None    # opacity-bounded); the binning's bbox
-    nonfinite_points: jnp.ndarray = None  # () count of in-frustum points
-    #   culled because an attribute went inf/NaN (numeric containment)
+    nonfinite_points: jnp.ndarray = None  # () count of valid points culled
+    #   because an attribute went inf/NaN (numeric containment)
+    emit: jnp.ndarray = None        # (N,) bool, in_frustum & finite &
+    #   visible — the binning/emission mask (strict subset of in_frustum:
+    #   invisible peak < 1/255 and non-finite splats emit no keys)
 
     # ---- convenience views (materialize small stacked arrays on demand;
     # used by tests / the jnp oracle, not the hot path) ----
@@ -188,14 +193,19 @@ def compute_point_attributes(
     xc = w00 * px + w01 * py + w02 * pz + tcx
     yc = w10 * px + w11 * py + w12 * pz + tcy
     zc = w20 * px + w21 * py + w22 * pz + tcz
-    # the projection math divides by zc, which is 0 for a padded slot
-    # sitting at the camera origin: 0 * inf = NaN would ride the VJP into
-    # that slot's optimizer moments even with a zero cotangent (see
-    # normalize_straight_through_columns). Compute with a floored zc; the
-    # frustum test below keeps the TRUE zc, so culling is unchanged (any
-    # real point has zc > near_plane >> eps).
-    zc_safe = jnp.where(jnp.abs(zc) > 1e-6, zc, 1e-6)
-    inv_z = 1.0 / zc_safe
+    # the projection math divides by zc, which is <= 0 for padded slots at
+    # the camera origin and for points behind the camera: 0 * inf = NaN
+    # would ride the VJP into that slot's optimizer moments even with a
+    # zero cotangent (see normalize_straight_through_columns), and near
+    # zc -> 0 the EWA covariance grows ~1/z^4 until f32 cancellation makes
+    # the filtered determinant <= 0 (measured on the round-4 campaign:
+    # ~170 behind-camera rows/iter with collapsed scales went NaN this
+    # way). Project with zc clamped at the near plane: bit-exact for every
+    # renderable point (in-frustum requires zc > near_plane), and every
+    # culled point gets bounded attributes with FINITE jacobians instead
+    # of garbage. The frustum test below keeps the TRUE zc.
+    zc_proj = jnp.maximum(zc, near_plane)
+    inv_z = 1.0 / zc_proj
     u = fx * xc * inv_z + cx
     v = fy * yc * inv_z + cy
 
@@ -260,7 +270,13 @@ def compute_point_attributes(
     det_pre = cov_a * cov_c - cov_b * cov_b
     fa = cov_a + COV_LOW_PASS
     fc = cov_c + COV_LOW_PASS
-    det = fa * fc - cov_b * cov_b
+    # cov2d = P P^T is PSD, so mathematically det >= COV_LOW_PASS^2 +
+    # COV_LOW_PASS*(cov_a+cov_c); in f32 the subtraction cancels
+    # catastrophically once cov ~ COV_LOW_PASS/eps (~2.5e6, i.e. extreme
+    # but finite splats) and can round to <= 0, sending inf through
+    # inv_det and NaN through the VJP. Flooring at the true lower bound is
+    # a mathematical no-op that keeps the conic and its jacobian finite.
+    det = jnp.maximum(fa * fc - cov_b * cov_b, COV_LOW_PASS * COV_LOW_PASS)
     rescale = jax.lax.stop_gradient(
         jnp.sqrt(jnp.maximum(0.0, det_pre / det)))
     inv_det = 1.0 / det
@@ -348,10 +364,11 @@ def compute_point_attributes(
     # ---- frustum test (reference: :72-78) ----
     bw = TILE_WIDTH * BOUNDARY_TILES
     bh = TILE_HEIGHT * BOUNDARY_TILES
+    valid = point_invalid_mask.astype(jnp.int32) == 0
     in_frustum = ((zc > near_plane) & (zc < far_plane)
                   & (u >= -bw) & (u < camera_info.camera_width + bw)
                   & (v >= -bh) & (v < camera_info.camera_height + bh)
-                  & (point_invalid_mask.astype(jnp.int32) == 0))
+                  & valid)
 
     # ---- numeric containment: cull non-finite splats ----
     # A single degenerate point (e.g. a scale collapsed far enough that the
@@ -369,13 +386,23 @@ def compute_point_attributes(
     for col in (conic_a, conic_b, conic_c, rescale, alpha_act,
                 color_r, color_g, color_b, radius_x, radius_y):
         finite = finite & jnp.isfinite(col)
-    nonfinite_points = jnp.sum((in_frustum & ~finite).astype(jnp.int32))
-    # invisible splats (peak contribution below the blend's skip gate) emit
-    # no keys at all; the reference emits their keys and then skips every
-    # pixel, with zero gradient either way (see r_eff above). Applied AFTER
-    # the nonfinite count: a NaN peak must register as nonfinite, not hide
-    # behind the visibility cull.
-    in_frustum = in_frustum & finite & visible
+    # counted over ALL valid pool slots, not just in-frustum ones: a NaN
+    # u/v/depth fails the frustum comparisons (NaN compares False) and
+    # would otherwise be culled without registering, hiding poisoned
+    # parameters from the trainer's containment telemetry. With the
+    # clamped-zc / floored-det projection above, a finite parameter row
+    # always produces finite attributes, so count > 0 means the PARAMETERS
+    # are poisoned, wherever the point sits.
+    nonfinite_points = jnp.sum((valid & ~finite).astype(jnp.int32))
+    # emission mask: invisible splats (peak contribution below the blend's
+    # skip gate) emit no keys at all; the reference emits their keys and
+    # then skips every pixel, with zero gradient either way (see r_eff
+    # above). Kept SEPARATE from in_frustum: the controller's
+    # accumulated_num_in_camera counts pure frustum membership like the
+    # reference's point_in_camera_mask (reference:
+    # GaussianPointAdaptiveController.py:99), so invisible-but-in-frustum
+    # splats still age its multi-frame averaging denominator.
+    emit = in_frustum & finite & visible
 
     return PointAttributes(
         u=u, v=v, depth=zc,
@@ -385,4 +412,5 @@ def compute_point_attributes(
         radii=radii, in_frustum=in_frustum,
         radius_x=radius_x, radius_y=radius_y,
         nonfinite_points=nonfinite_points,
+        emit=emit,
     )

@@ -335,7 +335,7 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
     cols, depth = _blend_inputs_from_attrs(attrs)
     binning = bin_points_to_tiles(
         attrs.u, attrs.v, attrs.depth, attrs.radius_x, attrs.radius_y,
-        attrs.in_frustum, camera_info,
+        attrs.emit, camera_info,
         depth_to_sort_key_scale=config.depth_to_sort_key_scale,
         max_tiles_per_point=config.max_tiles_per_point,
         big_point_divisor=config.big_point_divisor,
@@ -378,7 +378,7 @@ def _result_from_tile_out(tile_out, attrs, binning, camera_info):
         point_depth=jax.lax.stop_gradient(attrs.depth),
         num_overlap_tiles=jax.lax.stop_gradient(num_overlap_tiles(
             attrs.u, attrs.v, attrs.radius_x, attrs.radius_y,
-            attrs.in_frustum, camera_info)),
+            attrs.emit, camera_info)),
         total_keys=binning.total_keys,
         key_overflow=binning.key_overflow,
         big_point_overflow=binning.big_point_overflow,

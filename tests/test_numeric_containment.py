@@ -97,6 +97,35 @@ def test_nonfinite_grad_rows_do_not_poison_healthy_points():
     assert all(ok_pc[i] for i in range(len(ok_pc)) if i != 3)
 
 
+def test_collapsed_scale_splat_has_finite_gradients():
+    """Root fix for the round-4 chronic nonfinite rows (~170/iter): a
+    behind-camera splat with collapsed scales used to blow up the EWA
+    covariance ~1/z^2 until the f32-cancelled filtered determinant went
+    <= 0 (inf conic -> NaN through the VJP even at zero cotangent). The
+    clamped-zc / floored-det projection must give FINITE gradients for
+    every parameter row; a visible anisotropic collapsed splat must keep
+    finite NONZERO gradients (it still learns)."""
+    pc, feats = _scene()
+    bad = feats.copy()
+    # point 3: behind the camera, barely (the campaign failure shape:
+    # depth ~ -0.01, log-scales collapsed on two axes)
+    pc2 = pc.copy()
+    pc2[3] = [0.3, 0.2, -0.014]
+    bad[3, 4:7] = [-7.8, -8.2, -1.9]
+    # point 5: in frustum, visible, one axis collapsed
+    bad[5, 4] = -9.0
+    args = _render_args(pc2, bad)
+    result, vjp_fn = rasterize_with_vjp(*args, _cam(), CFG)
+    assert int(result.aux.nonfinite_points) == 0
+    grad_pc, grad_feats, _ = vjp_fn(jnp.ones_like(result.image))
+    assert bool(jnp.isfinite(grad_feats).all()), (
+        np.where(~np.all(np.isfinite(np.asarray(grad_feats)), axis=1)))
+    assert bool(jnp.isfinite(grad_pc).all())
+    # the visible collapsed splat still receives signal
+    assert float(jnp.abs(grad_feats[5]).sum()) > 0.0
+    assert float(jnp.abs(grad_pc[5]).sum()) > 0.0
+
+
 def _tiny_trainer(tmp_path):
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

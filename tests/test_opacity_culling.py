@@ -84,7 +84,7 @@ def test_bound_never_exceeds_reference_box_and_tightens_translucents():
     pc, feats = make_scene(n, rng, logits)
     a = attrs_of(pc, feats, cam)
     wrx, wry = wide_radii(a)
-    vis = np.asarray(a.in_frustum)
+    vis = np.asarray(a.emit)
     rx = np.asarray(a.radius_x)
     assert (rx[vis] <= np.asarray(wrx)[vis] + 1e-5).all()
     # translucent splats (sigmoid(-2) ~ 0.12 -> r_eff ~ 2.6 sigma) must be
@@ -112,14 +112,14 @@ def test_culling_is_exact_image_and_gradient():
             rx, ry = wide_radii(a)
         else:
             rx, ry = a.radius_x, a.radius_y
-        _, out = render_with(a, rx, ry, a.in_frustum, cam)
+        _, out = render_with(a, rx, ry, a.emit, cam)
         return out.image
 
     a = attrs_of(pc, feats, cam)
     wrx, wry = wide_radii(a)
     bin_tight, out_tight = render_with(a, a.radius_x, a.radius_y,
-                                       a.in_frustum, cam)
-    bin_wide, out_wide = render_with(a, wrx, wry, a.in_frustum, cam)
+                                       a.emit, cam)
+    bin_wide, out_wide = render_with(a, wrx, wry, a.emit, cam)
     assert int(bin_tight.total_keys) < int(bin_wide.total_keys)
     # every culled (key, pixel) pair sits below the blend's skip gate, so
     # the surviving pairs and their blend order are identical: bit-exact
@@ -145,13 +145,16 @@ def test_invisible_splat_emits_nothing_and_changes_nothing():
     logits[3] = -6.5  # sigmoid ~ 1.5e-3 < 1/255: below the blend skip gate
     pc, feats = make_scene(n, rng, logits)
     a = attrs_of(pc, feats, cam)
-    assert not bool(a.in_frustum[3])
+    # the invisible splat stays in the controller's frustum mask (the
+    # reference's point_in_camera_mask is pure frustum) but must not emit
+    assert bool(a.in_frustum[3])
+    assert not bool(a.emit[3])
     peak = float(a.rescale[3] * a.alpha_after_activation[3])
     assert peak < ALPHA_SKIP_THRESHOLD
-    _, out = render_with(a, a.radius_x, a.radius_y, a.in_frustum, cam)
+    _, out = render_with(a, a.radius_x, a.radius_y, a.emit, cam)
     invalid = np.zeros((n,), np.int8)
     invalid[3] = 1
     a2 = attrs_of(pc, feats, cam, invalid=invalid)
-    _, out2 = render_with(a2, a2.radius_x, a2.radius_y, a2.in_frustum, cam)
+    _, out2 = render_with(a2, a2.radius_x, a2.radius_y, a2.emit, cam)
     np.testing.assert_array_equal(np.asarray(out.image),
                                   np.asarray(out2.image))
