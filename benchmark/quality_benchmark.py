@@ -215,10 +215,14 @@ def main_quick():
         batch_size=batch,
         mesh_devices=mesh,
         val_interval=max(iters // 8, 100),
-        feature_learning_rate=0.01,
-        position_learning_rate=2e-4,
+        feature_learning_rate=0.01 * float(os.environ.get("QB_LR_SCALE", "1")),
+        position_learning_rate=2e-4 * float(os.environ.get("QB_LR_SCALE", "1")),
         position_learning_rate_decay_rate=0.995,
-        increase_color_max_sh_band_interval=max(iters // 8, 100),
+        # cadences below are denominated in IMAGES SEEN (iters * batch):
+        # the trainer's scale_schedules_with_batch divides them back by the
+        # batch size, so single-view and batch runs at equal images get
+        # identical per-image schedules (batch-parity protocol)
+        increase_color_max_sh_band_interval=max(iters * batch // 8, 100),
         initial_downsample_factor=1,
         log_loss_interval=100,
         log_metrics_interval=100,
@@ -232,9 +236,9 @@ def main_quick():
             num_iterations_densify=100,
             # FULL controller: alpha reset (3 resets over the 2000-iteration
             # default run) and floater removal both ACTIVE
-            num_iterations_reset_alpha=max(iters // 4, 100),
+            num_iterations_reset_alpha=max(iters * batch // 4, 100),
             reset_alpha_value=-1.0,
-            iteration_start_remove_floater=max(iters // 8, 100),
+            iteration_start_remove_floater=max(iters * batch // 8, 100),
             # orbit radius 2.5, scene radius ~0.7: anything splatting >1/4
             # of the frame from closer than 1.2 units is a floater
             floater_depth_threshold=1.2,

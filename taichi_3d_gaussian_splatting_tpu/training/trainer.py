@@ -119,12 +119,27 @@ class TrainConfig:
     # TPU backend at production scale - see benchmark/README.md), so budgets
     # only ever grow (monotonic merge) to prevent recompile churn.
     capacity_recovery: bool = True
+    # probe-ahead capacity: at every validation boundary, re-probe the
+    # CURRENT scene and pre-grow any budget within `margin` of its probed
+    # peak (to the full auto_capacity_headroom). Recompiles then land at
+    # validation boundaries (overlapping eval I/O) instead of mid-stepping
+    # via the overflow guard; the guard stays on as the backstop.
+    capacity_probe_ahead: bool = True
+    capacity_probe_ahead_margin: float = 1.2
     # multi-chip data parallelism (beyond reference parity): views per
     # optimizer step, sharded over a 1-D device mesh. batch_size must be a
     # multiple of the mesh size; 1 keeps the reference's single-view step.
     # mesh_devices=0 uses every visible device (see parallel/sharding.py)
     batch_size: int = 1
     mesh_devices: int = 0
+    # batch>1 quality honesty: one optimizer step consumes batch_size
+    # images, so iteration-denominated schedules (densify cadence, alpha
+    # reset, warm-up, SH unlock, downsample, position-LR decay) would fire
+    # batch_size x less often per image seen - measured -2.1 dB at equal
+    # images on the batch-parity protocol (benchmark/README.md). When
+    # enabled (default), those schedules are divided by batch_size so their
+    # per-IMAGE cadence matches the reference's single-view protocol.
+    scale_schedules_with_batch: bool = True
     # device-side dataset cache: upload every (downsampled) training image
     # and pose ONCE per downsample factor, then index device arrays per
     # step. Host->device transfers through a remote-TPU tunnel cost ~65 ms
@@ -279,8 +294,57 @@ class MetricsLogger:
                 pass
 
 
+def _scale_schedules_for_batch(config: TrainConfig) -> TrainConfig:
+    """Divide iteration-denominated schedules by batch_size (min 1) so the
+    per-image cadence matches the single-view reference protocol. Applied
+    at trainer init when scale_schedules_with_batch is on; num_iterations
+    and val_interval stay user-facing (the user already divides iterations
+    when training at equal images seen)."""
+    b = int(config.batch_size)
+    if b <= 1 or not config.scale_schedules_with_batch:
+        return config
+
+    def div(x):
+        return max(int(x) // b, 1)
+
+    ctrl = dataclasses.replace(
+        config.adaptive_controller_config,
+        num_iterations_warm_up=div(
+            config.adaptive_controller_config.num_iterations_warm_up),
+        num_iterations_densify=div(
+            config.adaptive_controller_config.num_iterations_densify),
+        num_iterations_reset_alpha=div(
+            config.adaptive_controller_config.num_iterations_reset_alpha),
+        iteration_start_remove_floater=div(
+            config.adaptive_controller_config.iteration_start_remove_floater),
+    )
+    import logging
+    logging.getLogger(__name__).info(
+        "batch_size=%d: dividing iteration schedules by the batch size "
+        "(densify %d, warm-up %d, alpha reset %d, SH unlock %d, downsample "
+        "%d, pos-LR decay %d); set scale_schedules_with_batch: false to "
+        "keep raw iteration cadences (costs ~2 dB at equal images seen, "
+        "see benchmark/README.md batch-parity section)", b,
+        ctrl.num_iterations_densify, ctrl.num_iterations_warm_up,
+        ctrl.num_iterations_reset_alpha,
+        div(config.increase_color_max_sh_band_interval),
+        div(config.half_downsample_factor_interval),
+        div(config.position_learning_rate_decay_interval))
+    return dataclasses.replace(
+        config,
+        adaptive_controller_config=ctrl,
+        increase_color_max_sh_band_interval=div(
+            config.increase_color_max_sh_band_interval),
+        half_downsample_factor_interval=div(
+            config.half_downsample_factor_interval),
+        position_learning_rate_decay_interval=div(
+            config.position_learning_rate_decay_interval),
+    )
+
+
 class GaussianPointCloudTrainer:
     def __init__(self, config: TrainConfig):
+        config = _scale_schedules_for_batch(config)
         self.config = config
         os.makedirs(config.summary_writer_log_dir, exist_ok=True)
         if config.output_model_dir is None:
@@ -341,14 +405,10 @@ class GaussianPointCloudTrainer:
             (self.scene, self.opt_state_features, self.opt_state_positions,
              self.ctrl_state, self.key) = restored
 
-    def _apply_auto_capacity(self, probe_views: int = 0):
-        """Scene-derived binning budgets (reference design gap: its CUDA
-        pipeline allocates per frame; our static budgets come from a probe
-        of the initial scene over a few dataset poses, see
-        ops/capacity.py)."""
-        from ..ops.capacity import auto_capacity_config
-        config = self.config
-        k = max(min(probe_views or config.auto_capacity_probe_views,
+    def _probe_poses(self, probe_views: int = 0):
+        """(views, camera_info) for capacity probing: `probe_views` poses
+        sampled evenly across the training dataset."""
+        k = max(min(probe_views or self.config.auto_capacity_probe_views,
                     len(self.train_dataset)), 1)
         idxs = np.linspace(0, len(self.train_dataset) - 1, k).astype(int)
         views = []
@@ -358,6 +418,16 @@ class GaussianPointCloudTrainer:
             cam = item.camera_info
             views.append((jnp.asarray(item.q_pointcloud_camera),
                           jnp.asarray(item.t_pointcloud_camera)))
+        return views, cam
+
+    def _apply_auto_capacity(self, probe_views: int = 0):
+        """Scene-derived binning budgets (reference design gap: its CUDA
+        pipeline allocates per frame; our static budgets come from a probe
+        of the initial scene over a few dataset poses, see
+        ops/capacity.py)."""
+        from ..ops.capacity import auto_capacity_config
+        config = self.config
+        views, cam = self._probe_poses(probe_views)
         config.rasterisation_config = auto_capacity_config(
             self.scene.point_cloud, self.scene.point_cloud_features,
             self.scene.point_invalid_mask, self.scene.point_object_id,
@@ -872,6 +942,7 @@ class GaussianPointCloudTrainer:
 
             if validation_due:
                 self.validation(iteration)
+                self._probe_ahead_capacity(iteration)
 
         self.validation(config.num_iterations,
                         completed=config.num_iterations)
@@ -1017,6 +1088,62 @@ class GaussianPointCloudTrainer:
         else:
             self._overflow_strikes = 0
 
+    def _merge_budgets(self, probed_rc, old_rc):
+        """Monotonic budget merge: probed budgets never shrink what training
+        already used (a pose-dependent probe dip must not churn recompiles).
+        Merges against the old config's RESOLVED ladder: a legacy config
+        (empty pool_slots) still binned through real divisor-derived tiers
+        (resolve_pools), and merging against the raw empty tuples would let
+        a small probed ladder silently SHRINK effective capacity below what
+        training already used (observed: a toy e2e run's loss rose after
+        recovery replaced the legacy tiers with a tighter ladder)."""
+        from ..ops.tiling import resolve_pools
+        merged = dict(zip(probed_rc.pool_slots, probed_rc.pool_caps))
+        old_pools = resolve_pools(
+            self.scene.capacity, 1 << 30, old_rc.max_tiles_per_point,
+            old_rc.big_point_divisor, old_rc.mid_point_divisor,
+            old_rc.max_tiles_per_huge_point, old_rc.huge_pool_size,
+            old_rc.pool_slots, old_rc.pool_caps)
+        for s, c in old_pools:
+            merged[s] = max(merged.get(s, 0), c)
+        slots = tuple(sorted(merged))
+        return dataclasses.replace(
+            probed_rc, max_keys=max(probed_rc.max_keys, old_rc.max_keys),
+            pool_slots=slots, pool_caps=tuple(merged[s] for s in slots))
+
+    def _probe_ahead_capacity(self, iteration: int):
+        """Probe-ahead capacity growth (runs at validation boundaries):
+        re-probe the CURRENT scene at the probe-ahead margin; if any budget
+        would grow, run a full recovery NOW so the recompile lands at the
+        validation boundary (overlapping eval I/O) instead of mid-stepping
+        when the overflow guard finally catches dropped work. The round-4
+        campaign's recovery #8 fired at iteration 28730 - 96% through the
+        run - because growth was purely reactive."""
+        config = self.config
+        if not (config.auto_capacity and config.capacity_recovery
+                and config.capacity_probe_ahead):
+            return
+        if iteration >= config.num_iterations - 1:
+            return
+        from ..ops.capacity import auto_capacity_config
+        rc = config.rasterisation_config
+        views, cam = self._probe_poses()
+        probed = auto_capacity_config(
+            self.scene.point_cloud, self.scene.point_cloud_features,
+            self.scene.point_invalid_mask, self.scene.point_object_id,
+            views, cam, rc, headroom=config.capacity_probe_ahead_margin)
+        merged = self._merge_budgets(probed, rc)
+        if (merged.max_keys == rc.max_keys
+                and merged.pool_slots == rc.pool_slots
+                and merged.pool_caps == rc.pool_caps):
+            return
+        print(f"probe-ahead at iteration {iteration}: current workload "
+              f"within {config.capacity_probe_ahead_margin}x of budgets "
+              f"(probe wants max_keys {merged.max_keys} vs {rc.max_keys}, "
+              f"pools {merged.pool_slots}/{merged.pool_caps}); growing now",
+              flush=True)
+        self._recover_capacity(iteration)
+
     def _recover_capacity(self, iteration: int, big_ovf: float = 0.0,
                           key_ovf: float = 0.0, tile_ovf: bool = False):
         """Self-healing capacity: the scene outgrew its binning budgets
@@ -1032,26 +1159,7 @@ class GaussianPointCloudTrainer:
         # campaign overflowed on frames the 4-view probe never saw)
         self._apply_auto_capacity(probe_views=max(
             self.config.auto_capacity_probe_views, 16))
-        new = self.config.rasterisation_config
-        merged = dict(zip(new.pool_slots, new.pool_caps))
-        # merge against the old config's RESOLVED ladder: a legacy config
-        # (empty pool_slots) still binned through real divisor-derived tiers
-        # (resolve_pools), and merging against the raw empty tuples would
-        # let a small probed ladder silently SHRINK effective capacity below
-        # what training already used (observed: a toy e2e run's loss rose
-        # after recovery replaced the legacy tiers with a tighter ladder)
-        from ..ops.tiling import resolve_pools
-        old_pools = resolve_pools(
-            self.scene.capacity, 1 << 30, old.max_tiles_per_point,
-            old.big_point_divisor, old.mid_point_divisor,
-            old.max_tiles_per_huge_point, old.huge_pool_size,
-            old.pool_slots, old.pool_caps)
-        for s, c in old_pools:
-            merged[s] = max(merged.get(s, 0), c)
-        slots = tuple(sorted(merged))
-        rc = dataclasses.replace(
-            new, max_keys=max(new.max_keys, old.max_keys),
-            pool_slots=slots, pool_caps=tuple(merged[s] for s in slots))
+        rc = self._merge_budgets(self.config.rasterisation_config, old)
         if (rc.max_keys == old.max_keys and rc.pool_slots == old.pool_slots
                 and rc.pool_caps == old.pool_caps):
             # the probe poses never see the overflowing frames (it samples

@@ -180,3 +180,56 @@ def test_recovery_merge_covers_resolved_legacy_pools():
     assert rc.max_keys >= old_rc.max_keys
     assert not trainer._step_fns  # rebuilt
     assert trainer._overflow_strikes == 0
+
+
+def test_probe_ahead_grows_before_overflow(tmp_path):
+    """Probe-ahead capacity (runs at validation boundaries): when the live
+    scene's probed workload is within the margin of the budgets, recovery
+    fires PROACTIVELY (recompile at the validation boundary) - and is a
+    no-op right after init, when headroom >> margin."""
+    import jax.numpy as jnp
+    train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
+    config = TrainConfig(
+        train_dataset_json_path=train_json,
+        val_dataset_json_path=val_json,
+        pointcloud_parquet_path=parquet,
+        num_iterations=100,
+        auto_capacity=True,
+        auto_capacity_headroom=2.0,
+        capacity_probe_ahead=True,
+        summary_writer_log_dir=str(tmp_path / "logs"),
+        rasterisation_config=RasterizerConfig(
+            near_plane=0.1, far_plane=100.0, max_tiles_per_point=8),
+        gaussian_point_cloud_scene_config=SceneConfig(
+            # room to grow: the probe-ahead growth must be representable
+            # above the chunk-multiple floor of max_keys and the n-clamp
+            # of pool caps
+            max_num_points_ratio=8.0, initial_alpha=1.0),
+        loss_function_config=LossFunctionConfig(enable_regularization=False),
+    )
+    trainer = GaussianPointCloudTrainer(config)
+    rc0 = trainer.config.rasterisation_config
+    # fresh scene: probed workload x margin is well inside headroom
+    trainer._probe_ahead_capacity(5)
+    assert trainer.config.rasterisation_config is rc0
+
+    # densification stand-in: activate every padded pool slot as a clone of
+    # a live point (the 2x2 toy tile grid is already per-point saturated,
+    # so the workload grows with the VALID population, not splat size)
+    import numpy as np
+    scene = trainer.scene
+    src = int(np.argmin(np.asarray(scene.point_invalid_mask)))
+    pc = jnp.where(scene.point_invalid_mask[:, None] != 0,
+                   scene.point_cloud[src], scene.point_cloud)
+    feats = jnp.where(scene.point_invalid_mask[:, None] != 0,
+                      scene.point_cloud_features[src],
+                      scene.point_cloud_features)
+    trainer.scene = scene._replace(
+        point_cloud=pc, point_cloud_features=feats,
+        point_invalid_mask=jnp.zeros_like(scene.point_invalid_mask))
+    trainer._step_fns["sentinel"] = object()
+    trainer._probe_ahead_capacity(5)
+    rc1 = trainer.config.rasterisation_config
+    assert rc1.max_keys > rc0.max_keys or \
+        sum(rc1.pool_caps) > sum(rc0.pool_caps), (rc0, rc1)
+    assert "sentinel" not in trainer._step_fns, "steps must be rebuilt"

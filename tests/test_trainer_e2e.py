@@ -206,6 +206,9 @@ def test_trainer_end_to_end_multichip(tmp_path):
         val_interval=30,
         batch_size=4,
         mesh_devices=4,
+        # this test pins the sharding machinery with hand-set cadences;
+        # the per-image schedule scaling has its own unit test
+        scale_schedules_with_batch=False,
         feature_learning_rate=2e-3,   # 4 views/step, summed grads
         position_learning_rate=4e-5,
         initial_downsample_factor=1,

@@ -1,5 +1,6 @@
 """SSIM / loss / controller unit tests."""
 
+import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -274,3 +275,44 @@ def test_uint8_device_cache_is_lossless():
     lazy = _LazyCacheImage(stored, 1)
     np.testing.assert_array_equal(lazy.fetch(), img_f[1])
     assert lazy.fetch().dtype == np.float32
+
+
+def test_batch_schedule_scaling():
+    """batch_size > 1 divides iteration-denominated schedules by the batch
+    size (per-image cadence parity with the single-view reference protocol;
+    the raw cadences cost ~2 dB at equal images seen - benchmark/README.md
+    batch-parity section). Opt-out via scale_schedules_with_batch."""
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+        TrainConfig, _scale_schedules_for_batch)
+    from taichi_3d_gaussian_splatting_tpu.training.controller import (
+        AdaptiveControllerConfig)
+
+    base = TrainConfig(
+        train_dataset_json_path="x", val_dataset_json_path="x",
+        pointcloud_parquet_path="x",
+        batch_size=8,
+        increase_color_max_sh_band_interval=1000,
+        half_downsample_factor_interval=250,
+        position_learning_rate_decay_interval=100,
+        adaptive_controller_config=AdaptiveControllerConfig(
+            num_iterations_warm_up=500, num_iterations_densify=100,
+            num_iterations_reset_alpha=3000),
+    )
+    scaled = _scale_schedules_for_batch(base)
+    assert scaled.increase_color_max_sh_band_interval == 125
+    assert scaled.half_downsample_factor_interval == 31
+    assert scaled.position_learning_rate_decay_interval == 12
+    ctrl = scaled.adaptive_controller_config
+    assert ctrl.num_iterations_warm_up == 62
+    assert ctrl.num_iterations_densify == 12
+    assert ctrl.num_iterations_reset_alpha == 375
+    # floors at 1, never 0 (modulo by the cadence)
+    tiny = _scale_schedules_for_batch(
+        dataclasses.replace(base, position_learning_rate_decay_interval=4))
+    assert tiny.position_learning_rate_decay_interval == 1
+    # opt-out and batch_size == 1 are no-ops
+    off = _scale_schedules_for_batch(
+        dataclasses.replace(base, scale_schedules_with_batch=False))
+    assert off.half_downsample_factor_interval == 250
+    one = _scale_schedules_for_batch(dataclasses.replace(base, batch_size=1))
+    assert one.half_downsample_factor_interval == 250
