@@ -33,20 +33,71 @@ AMBIENT = 0.35
 DIFFUSE = 0.65
 
 
-def _checker(x, z):
-    """Ground texture: 2-tone checker with a soft radial falloff."""
+def _vnoise(x, z, seed=0.0):
+    """Deterministic bilinear value noise on the (x, z) lattice (classic
+    sin-hash; no state, reproducible across runs/processes)."""
+    ix, iz = np.floor(x), np.floor(z)
+    fx, fz = x - ix, z - iz
+    fx = fx * fx * (3.0 - 2.0 * fx)
+    fz = fz * fz * (3.0 - 2.0 * fz)
+
+    def h(a, b):
+        s = np.sin(a * 12.9898 + b * 78.233 + seed * 37.719) * 43758.5453
+        return s - np.floor(s)
+
+    v00, v10 = h(ix, iz), h(ix + 1.0, iz)
+    v01, v11 = h(ix, iz + 1.0), h(ix + 1.0, iz + 1.0)
+    return ((v00 * (1.0 - fx) + v10 * fx) * (1.0 - fz)
+            + (v01 * (1.0 - fx) + v11 * fx) * fz)
+
+
+def _detail_field(x, z, octaves, base_freq=2.0, seed=0.0):
+    """Multi-octave value noise in [0, 1]; octaves=0 -> constant 0.5 (the
+    detail-free scene, bit-compatible with pre-knob GT renders)."""
+    if octaves <= 0:
+        return 0.5
+    acc = 0.0
+    amp = 0.0
+    for o in range(octaves):
+        f = base_freq * (2.0 ** o)
+        acc = acc + 0.5 ** o * _vnoise(x * f, z * f, seed + o)
+        amp += 0.5 ** o
+    return acc / amp
+
+
+def _checker(x, z, detail=0):
+    """Ground texture: 2-tone checker with a soft radial falloff; `detail`
+    octaves of value noise modulate luminance (high-frequency out-of-model
+    content that forces densification into the reference's 400k+ regime)."""
     c = ((np.floor(x * 1.25) + np.floor(z * 1.25)) % 2.0)
     base = np.where(c > 0.5, 0.82, 0.28)
     tint = 0.5 + 0.5 * np.cos(0.7 * x) * np.sin(0.9 * z)
     r = base * (0.8 + 0.2 * tint)
     g = base * (0.75 + 0.1 * tint)
     b = base * 0.7
-    return np.stack([r, g, b], axis=-1)
+    tex = np.stack([r, g, b], axis=-1)
+    if detail:
+        m = _detail_field(x, z, detail)
+        tex = tex * (0.55 + 0.9 * m)[..., None]
+    return tex
 
 
-def _sphere_texture(tex_id, n):
-    """Per-texture procedural color from the surface normal (n = unit)."""
+def _sphere_texture(tex_id, n, detail=0):
+    """Per-texture procedural color from the surface normal (n = unit);
+    `detail` octaves of value noise over two normal charts add
+    high-frequency out-of-model content (see _checker)."""
     x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    if detail:
+        m = 0.5 * (_detail_field(3.0 * x, 3.0 * y + 11.0 * tex_id, detail)
+                   + _detail_field(3.0 * y + 7.0, 3.0 * z + 13.0, detail))
+        mod = (0.6 + 0.8 * m)[..., None]
+    else:
+        mod = 1.0
+    tex = _sphere_texture_base(tex_id, x, y, z)
+    return tex * mod
+
+
+def _sphere_texture_base(tex_id, x, y, z):
     if tex_id == 0:       # marble-ish bands
         t = 0.5 + 0.5 * np.sin(8.0 * x + 4.0 * np.sin(5.0 * y))
         return np.stack([0.85 * t + 0.1, 0.25 + 0.45 * t, 0.3 - 0.15 * t],
@@ -74,7 +125,7 @@ def _sky(d):
 
 
 def render_view(T_pointcloud_camera: np.ndarray, intrinsics: np.ndarray,
-                height: int, width: int) -> np.ndarray:
+                height: int, width: int, detail: int = 0) -> np.ndarray:
     """Ray-trace one view. T_pointcloud_camera = camera-to-world 4x4 (the
     dataset convention, reference: ImagePoseDataset.py:20-26). Returns
     (H, W, 3) float32 in [0, 1]."""
@@ -96,7 +147,7 @@ def render_view(T_pointcloud_camera: np.ndarray, intrinsics: np.ndarray,
     hit_p = eye + d * tp[..., None]
     ground_ok = (tp > 1e-4) & (np.hypot(hit_p[..., 0], hit_p[..., 2])
                                < GROUND_RADIUS)
-    tex = _checker(hit_p[..., 0], hit_p[..., 2])
+    tex = _checker(hit_p[..., 0], hit_p[..., 2], detail)
     n = np.broadcast_to(np.array([0.0, -1.0, 0.0]), d.shape)
     shade = AMBIENT + DIFFUSE * np.maximum(0.0, n @ LIGHT_DIR)
     mask = ground_ok & (tp < best_t)
@@ -113,7 +164,7 @@ def render_view(T_pointcloud_camera: np.ndarray, intrinsics: np.ndarray,
         ok &= ts > 1e-4
         hit = eye + d * ts[..., None]
         n = (hit - center) / radius
-        tex = _sphere_texture(tex_id, n)
+        tex = _sphere_texture(tex_id, n, detail)
         shade = AMBIENT + DIFFUSE * np.maximum(
             0.0, np.einsum("hwc,c->hw", n, LIGHT_DIR))
         mask = ok & (ts < best_t)
@@ -143,7 +194,7 @@ def orbit_pose(angle: float, elev: float, radius: float = 3.2,
 
 
 def sample_init_points(n_points: int, rng: np.random.Generator,
-                       noise: float = 0.02):
+                       noise: float = 0.02, detail: int = 0):
     """COLMAP-like sparse initialization: points sampled from the true
     surfaces with jitter, colored by the local texture (drives the SH DC
     color init exactly like a COLMAP parquet with r,g,b columns,
@@ -163,7 +214,7 @@ def sample_init_points(n_points: int, rng: np.random.Generator,
     gp = np.stack([gx, np.full(ng, GROUND_Y), gz], -1)
     shade = AMBIENT + DIFFUSE * 0.8
     pts.append(gp)
-    cols.append(np.clip(_checker(gx, gz) * shade, 0, 1))
+    cols.append(np.clip(_checker(gx, gz, detail) * shade, 0, 1))
 
     for (center, radius, tex_id), cnt in zip(SPHERES, counts[1:]):
         v = rng.normal(size=(cnt, 3))
@@ -171,8 +222,8 @@ def sample_init_points(n_points: int, rng: np.random.Generator,
         sp = center + v * radius
         shade = AMBIENT + DIFFUSE * np.maximum(0.0, v @ LIGHT_DIR)
         pts.append(sp)
-        cols.append(np.clip(_sphere_texture(tex_id, v) * shade[:, None],
-                            0, 1))
+        cols.append(np.clip(_sphere_texture(tex_id, v, detail)
+                            * shade[:, None], 0, 1))
 
     pc = np.concatenate(pts).astype(np.float32)
     pc += rng.normal(scale=noise, size=pc.shape).astype(np.float32)

@@ -215,8 +215,8 @@ def main_quick():
         batch_size=batch,
         mesh_devices=mesh,
         val_interval=max(iters // 8, 100),
-        feature_learning_rate=0.01 * float(os.environ.get("QB_LR_SCALE", "1")),
-        position_learning_rate=2e-4 * float(os.environ.get("QB_LR_SCALE", "1")),
+        feature_learning_rate=0.01,
+        position_learning_rate=2e-4,
         position_learning_rate_decay_rate=0.995,
         # cadences below are denominated in IMAGES SEEN (iters * batch):
         # the trainer's scale_schedules_with_batch divides them back by the
@@ -276,6 +276,11 @@ def main_full():
     # train step (25+ min each at this scale); QB_FULL_DOWNSAMPLE=1 trades
     # the reference's coarse-to-fine warmup for two fewer compiles
     downsample = int(os.environ.get("QB_FULL_DOWNSAMPLE", "4"))
+    # texture detail octaves: QB_FULL_DETAIL > 0 adds multi-octave value
+    # noise to every surface - high-frequency out-of-model content that
+    # drives densification into the reference's 400k+ point regime
+    # (the round-4 detail-0 campaign plateaued at 171k points)
+    detail = int(os.environ.get("QB_FULL_DETAIL", "0"))
     out_dir = os.environ.get("QB_OUT", "/tmp/quality_benchmark_full")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -306,7 +311,9 @@ def main_full():
     for vi in range(n_views):
         elev = (0.38, 0.18, 0.55)[vi % 3]  # three elevation rings
         T = orbit_pose(2 * np.pi * vi / n_views + 0.05 * (vi % 3), elev)
-        path = os.path.join(img_dir, f"v{vi:03d}_of{n_views}_{w}x{h}.png")
+        suffix = f"_d{detail}" if detail else ""
+        path = os.path.join(
+            img_dir, f"v{vi:03d}_of{n_views}_{w}x{h}{suffix}.png")
         # GT views are deterministic in (vi, n_views, w, h) - poses don't
         # consume the rng - so pre-rendered images (the ray tracer costs
         # ~22 s/view at 976x544 on this rig's single CPU) are reusable
@@ -314,7 +321,7 @@ def main_full():
         # including n_views (the pose angle is 2*pi*vi/n_views, so a rerun
         # with a different QB_FULL_VIEWS must not reuse stale poses)
         if not os.path.exists(path):
-            img = render_view(T, intr, h, w)
+            img = render_view(T, intr, h, w, detail=detail)
             tmp_path = path + ".tmp.png"
             PIL.Image.fromarray((img * 255).astype(np.uint8)).save(tmp_path)
             os.replace(tmp_path, path)
@@ -332,7 +339,7 @@ def main_full():
         print("QB_GT_ONLY=1: ground-truth views written, exiting", flush=True)
         return None
 
-    pc, rgb = sample_init_points(n_init, rng)
+    pc, rgb = sample_init_points(n_init, rng, detail=detail)
     parquet = os.path.join(out_dir, "point_cloud.parquet")
     pd.DataFrame(
         np.concatenate([pc, rgb], axis=1),
@@ -380,7 +387,12 @@ def main_full():
             num_iterations_warm_up=1000,
             num_iterations_densify=100,
             num_iterations_reset_alpha=4000,   # ACTIVE (reference cadence)
-            reset_alpha_value=-1.9,
+            # LOGIT clamp ceiling, like the reference's (its 0.1 default is
+            # a logit: alpha <= sigmoid(0.1) = 0.52, a mild moderation).
+            # Round 4 used -1.9 here (alpha <= 0.13, a 4x harsher clamp)
+            # and its trajectory dipped ~9 dB at every reset
+            # (reference: GaussianPointAdaptiveController.py:72,355-358)
+            reset_alpha_value=0.1,
             iteration_start_remove_floater=2000,  # ACTIVE
             floater_num_pixels_threshold=400000,
             floater_near_camrea_num_pixels_threshold=300000,

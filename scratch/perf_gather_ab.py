@@ -62,6 +62,18 @@ def run_scale(n, mk, seed=0):
         # include the per-frame (N,16) table build from the 16 columns
         return consume(cols.T[idx, :].T)
 
+    def g_row_fused(rows_t, idx):
+        # transpose fused INTO the gather: out[j, b] = table[idx[b], j]
+        out = jax.lax.gather(
+            rows_t, idx[None, :, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(0,), collapsed_slice_dims=(0,),
+                start_index_map=(0,)),
+            slice_sizes=(1, 16),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )                                         # (16, MK)? check shape
+        return consume(out.reshape(16, -1))
+
     for name, fn, table, ix in [
         ("col    (16,N)[:,idx]       ", g_col, cols, idx),
         ("row    (N,16)[idx,:]       ", g_row, rows_t, idx),

@@ -209,6 +209,7 @@ def test_trainer_end_to_end_multichip(tmp_path):
         # this test pins the sharding machinery with hand-set cadences;
         # the per-image schedule scaling has its own unit test
         scale_schedules_with_batch=False,
+        scale_lr_with_batch="none",
         feature_learning_rate=2e-3,   # 4 views/step, summed grads
         position_learning_rate=4e-5,
         initial_downsample_factor=1,

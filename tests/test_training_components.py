@@ -300,6 +300,11 @@ def test_batch_schedule_scaling():
     )
     scaled = _scale_schedules_for_batch(base)
     assert scaled.increase_color_max_sh_band_interval == 125
+    # LR compensation (default sqrt; measured -3.03 -> -1.65 dB)
+    assert abs(scaled.feature_learning_rate
+               - base.feature_learning_rate * 8 ** 0.5) < 1e-9
+    assert abs(scaled.position_learning_rate
+               - base.position_learning_rate * 8 ** 0.5) < 1e-9
     assert scaled.half_downsample_factor_interval == 31
     assert scaled.position_learning_rate_decay_interval == 12
     ctrl = scaled.adaptive_controller_config
@@ -314,5 +319,15 @@ def test_batch_schedule_scaling():
     off = _scale_schedules_for_batch(
         dataclasses.replace(base, scale_schedules_with_batch=False))
     assert off.half_downsample_factor_interval == 250
+    # LR knob is independent of the cadence knob
+    assert abs(off.feature_learning_rate
+               - base.feature_learning_rate * 8 ** 0.5) < 1e-9
+    lin = _scale_schedules_for_batch(
+        dataclasses.replace(base, scale_lr_with_batch="linear"))
+    assert abs(lin.feature_learning_rate
+               - base.feature_learning_rate * 8) < 1e-9
+    none = _scale_schedules_for_batch(
+        dataclasses.replace(base, scale_lr_with_batch="none"))
+    assert none.feature_learning_rate == base.feature_learning_rate
     one = _scale_schedules_for_batch(dataclasses.replace(base, batch_size=1))
     assert one.half_downsample_factor_interval == 250
