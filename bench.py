@@ -114,6 +114,24 @@ def _emit_error_record(detail: str) -> None:
     raise SystemExit(2)
 
 
+def _spatial_sort(pc, feats):
+    """Morton-order the bench scene (BENCH_SPATIAL_SORT=0 disables): the
+    blend-slab gather pays per-index HBM latency, and parquet/random id
+    order makes every key a TLB miss at megapoint tables (measured
+    12.5 ns/idx = 38 ms at 2.08M; see models/scene.py spatially_sorted)."""
+    if os.environ.get("BENCH_SPATIAL_SORT", "1") != "1":
+        return pc, feats
+    import jax.numpy as jnp
+    from taichi_3d_gaussian_splatting_tpu.models.scene import (
+        GaussianPointCloudScene)
+    n = pc.shape[0]
+    scene = GaussianPointCloudScene(
+        point_cloud=pc, point_cloud_features=feats,
+        point_invalid_mask=jnp.zeros((n,), jnp.int8),
+        point_object_id=jnp.zeros((n,), jnp.int32)).spatially_sorted()
+    return scene.point_cloud, scene.point_cloud_features
+
+
 def load_scene():
     import jax.numpy as jnp
     path = os.environ.get("BENCH_SCENE", "")
@@ -124,7 +142,8 @@ def load_scene():
             scene = GaussianPointCloudScene.from_ply(path)
         else:
             scene = GaussianPointCloudScene.from_parquet(path)
-        return scene.point_cloud, scene.point_cloud_features
+        return _spatial_sort(scene.point_cloud,
+                             scene.point_cloud_features)
     if os.environ.get("BENCH_SCENE_KIND", "") == "heavy":
         # real-checkpoint statistics: clustered positions, log-normal
         # (heavy-tailed) scales, background shell - the scale regime the
@@ -137,7 +156,7 @@ def load_scene():
         n = int(os.environ.get("BENCH_POINTS", "1030000"))
         pc, feats = make_heavy_tailed_checkpoint(
             n, np.random.default_rng(0))
-        return jnp.array(pc), jnp.array(feats)
+        return _spatial_sort(jnp.array(pc), jnp.array(feats))
     n = int(os.environ.get(
         "BENCH_POINTS",
         "430000"))  # reference Truck 30k checkpoint size (README.md:66)
@@ -152,7 +171,7 @@ def load_scene():
     feats[:, 8] = rng.normal(size=n)
     feats[:, 24] = rng.normal(size=n)
     feats[:, 40] = rng.normal(size=n)
-    return jnp.array(pc), jnp.array(feats)
+    return _spatial_sort(jnp.array(pc), jnp.array(feats))
 
 
 def main():
@@ -179,7 +198,10 @@ def main():
                            # blend chunk rows: avg tile segment ~270 keys,
                            # so chunk=64 halves padding waste vs 128 (the
                            # prepared round-3 experiment; BENCH_CHUNK ab's it)
-                           chunk=int(os.environ.get("BENCH_CHUNK", "128")))
+                           chunk=int(os.environ.get("BENCH_CHUNK", "128")),
+                           # slab gather formulation A/B (ops/tiling.py)
+                           slab_gather=os.environ.get("BENCH_SLAB_GATHER",
+                                                      "row"))
 
     pc, feats = load_scene()
     n = pc.shape[0]

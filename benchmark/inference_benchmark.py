@@ -40,6 +40,11 @@ def main():
         scene = GaussianPointCloudScene.from_ply(args.scene)
     else:
         scene = GaussianPointCloudScene.from_parquet(args.scene)
+    # Morton-order the checkpoint: the blend-slab gather pays HBM latency
+    # per key, and id locality within each tile's segment is what caches
+    # (models/scene.py spatially_sorted; order does not change the image
+    # beyond sort-tie permutations the reference has too)
+    scene = scene.spatially_sorted()
     n = scene.capacity
     print(f"loaded {n} points from {args.scene}")
 

@@ -56,7 +56,7 @@ def merge_scenes(parquet_paths):
         GaussianPointCloudScene)
     pcs, feats, objs = [], [], []
     for i, path in enumerate(parquet_paths):
-        scene = GaussianPointCloudScene.from_parquet(path)
+        scene = GaussianPointCloudScene.from_parquet(path).spatially_sorted()
         keep = np.asarray(scene.point_invalid_mask) == 0
         pcs.append(np.asarray(scene.point_cloud)[keep])
         feats.append(np.asarray(scene.point_cloud_features)[keep])

@@ -62,6 +62,21 @@ def run_scale(n, mk, seed=0):
         # include the per-frame (N,16) table build from the 16 columns
         return consume(cols.T[idx, :].T)
 
+    def g_prod(cols, idx):
+        # EXACT production formulation (ops/tiling.py slab_gather="row"):
+        # barrier'd (16,N) columns -> .T -> fused-transpose lax.gather
+        rows = jax.lax.optimization_barrier(cols)
+        rows_t = rows.T
+        out = jax.lax.gather(
+            rows_t, idx[None, :, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(0,), collapsed_slice_dims=(0,),
+                start_index_map=(0,)),
+            slice_sizes=(1, 16),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ).reshape(16, -1)
+        return consume(out)
+
     def g_row_fused(rows_t, idx):
         # transpose fused INTO the gather: out[j, b] = table[idx[b], j]
         out = jax.lax.gather(
@@ -79,6 +94,8 @@ def run_scale(n, mk, seed=0):
         ("row    (N,16)[idx,:]       ", g_row, rows_t, idx),
         ("row+T  (N,16)[idx,:].T     ", g_row_transpose, rows_t, idx),
         ("buildT cols.T[idx,:].T     ", g_build_row_t, cols, idx),
+        ("fused  lax.gather (16,MK)  ", g_row_fused, rows_t, idx),
+        ("PROD   barrier+T+fused     ", g_prod, cols, idx),
         ("row-sortedidx              ", g_row, rows_t, idx_sorted),
     ]:
         dt = timed(fn, table, ix)

@@ -62,6 +62,54 @@ class GaussianPointCloudScene(NamedTuple):
     def num_valid_points(self):
         return int(self.capacity - np.asarray(self.point_invalid_mask).sum())
 
+    def spatially_sorted(self) -> "GaussianPointCloudScene":
+        """Reorder valid points along a Morton (Z-order) curve of their
+        positions; invalid slots stay at the end.
+
+        Rendering is order-invariant (keys sort by (tile, depth); ties
+        between equal keys were already backend-dependent, like the
+        reference's torch.sort), but point-id LOCALITY is what the
+        blend-slab gather pays for: each tile's depth-sorted segment
+        gathers its points' rows from HBM at random, and with parquet-order
+        ids that is a TLB/cache miss per key (measured 12.5 ns/index at a
+        2.08M-point table = 38 ms/frame, benchmark/README round 5). After
+        Morton ordering, a tile's points occupy a narrow id range.
+        Host-side, one-time per scene load/rebuild."""
+        pc = np.asarray(self.point_cloud)
+        invalid = np.asarray(self.point_invalid_mask)
+        valid = invalid == 0
+        v = pc[valid]
+        if v.shape[0] == 0:
+            return self
+        lo = v.min(axis=0)
+        span = np.maximum(v.max(axis=0) - lo, 1e-12)
+        q = np.clip(((v - lo) / span) * ((1 << 21) - 1), 0,
+                    (1 << 21) - 1).astype(np.uint64)
+
+        def _spread(x):
+            # interleave 21 bits with two zero bits (standard Morton spread)
+            x &= np.uint64(0x1FFFFF)
+            x = (x | (x << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+            x = (x | (x << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+            x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+            x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+            x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+            return x
+
+        code = (_spread(q[:, 0]) | (_spread(q[:, 1]) << np.uint64(1))
+                | (_spread(q[:, 2]) << np.uint64(2)))
+        perm_valid = np.argsort(code, kind="stable")
+        idx = np.arange(pc.shape[0])
+        perm = np.concatenate([idx[valid][perm_valid], idx[~valid]])
+        return GaussianPointCloudScene(
+            point_cloud=jnp.asarray(pc[perm]),
+            point_cloud_features=jnp.asarray(
+                np.asarray(self.point_cloud_features)[perm]),
+            point_invalid_mask=jnp.asarray(invalid[perm]),
+            point_object_id=jnp.asarray(
+                np.asarray(self.point_object_id)[perm]),
+        )
+
     # ------------------------------------------------------------------
     # construction
     # ------------------------------------------------------------------

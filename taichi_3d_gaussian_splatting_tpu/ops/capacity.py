@@ -61,7 +61,9 @@ def _probe_counts(pointcloud, pointcloud_features, point_invalid_mask,
     for hi in LADDER:
         pops.append(jnp.sum(((count > lo) & (count <= hi)).astype(jnp.int32)))
         lo = hi
-    return emitted, jnp.stack(pops), jnp.max(count)
+    small_pop = jnp.sum(
+        ((count > 0) & (count <= TIER_A_SLOTS)).astype(jnp.int32))
+    return emitted, jnp.stack(pops), jnp.max(count), small_pop
 
 
 def probe_workload(pointcloud, pointcloud_features, point_invalid_mask,
@@ -74,20 +76,22 @@ def probe_workload(pointcloud, pointcloud_features, point_invalid_mask,
     it)."""
     emitted = 0
     max_count = 0
+    small_pop = 0
     pops = [0] * len(LADDER)
     cam_hw = (camera_info.camera_height, camera_info.camera_width)
     intr = jnp.asarray(camera_info.camera_intrinsics, jnp.float32)
     for q, t in views:
-        e, p, mc = _probe_counts(
+        e, p, mc, sp = _probe_counts(
             pointcloud, pointcloud_features, point_invalid_mask,
             point_object_id, jnp.asarray(q, jnp.float32),
             jnp.asarray(t, jnp.float32), intr, cam_hw,
             float(config.near_plane), float(config.far_plane))
         emitted = max(emitted, int(e))
         max_count = max(max_count, int(mc))
+        small_pop = max(small_pop, int(sp))
         p = [int(x) for x in p]
         pops = [max(a, b) for a, b in zip(pops, p)]
-    return emitted, tuple(pops), max_count
+    return emitted, tuple(pops), max_count, small_pop
 
 
 def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
@@ -117,7 +121,7 @@ def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
     overflow guard still counts anything a later frame drops.
     """
     n = int(pointcloud.shape[0])
-    emitted, pops, max_count = probe_workload(
+    emitted, pops, max_count, small_pop = probe_workload(
         pointcloud, pointcloud_features, point_invalid_mask, point_object_id,
         views, camera_info, base_config)
     chunk = int(base_config.chunk)
@@ -142,9 +146,16 @@ def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
 
     max_keys = max(int(emitted * headroom), chunk)
     max_keys = ((max_keys + chunk - 1) // chunk) * chunk
+    # tier-A compaction budget: 1-2-tile splats get headroom x the probed
+    # population of pool entries instead of the dense all-N layout, so
+    # out-of-frustum points stop contributing padding rows to the key sort
+    # (ops/tiling.py tier_a_cap). Capped at n, where the dense layout is
+    # used anyway.
+    tier_a_cap = min(max(int(-(-int(small_pop * headroom) // 8)) * 8, 8), n)
     return dataclasses.replace(
         base_config,
         max_keys=max_keys,
         pool_slots=tuple(pool_slots),
         pool_caps=tuple(pool_caps),
+        tier_a_cap=tier_a_cap,
     )

@@ -77,6 +77,16 @@ class RasterizerConfig:
     # padded-slot waste below 2x at any scene scale (see ops/tiling.py)
     pool_slots: tuple = ()
     pool_caps: tuple = ()
+    # blend-slab gather formulation: "row" gathers 64-byte contiguous
+    # (1, 16) rows from an (N, 16) table with the transpose fused into the
+    # gather; "col" is the strided (16, N)[:, idx] gather (6.6 ns/index
+    # measured, the megapoint-scale bottleneck - benchmark/README round 5)
+    slab_gather: str = "row"
+    # tier-A compaction budget: > 0 routes 1-2-tile splats through the
+    # category sort into a (2, tier_a_cap) pool tier so culled/invisible
+    # points add ZERO rows to the main key sort; 0 keeps the probe-free
+    # all-N layout. Auto-sized by ops/capacity.py (see ops/tiling.py)
+    tier_a_cap: int = 0
 
     @property
     def tile_scan_bound(self) -> int:
@@ -346,7 +356,9 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         max_tiles_per_huge_point=config.max_tiles_per_huge_point,
         huge_pool_size=config.huge_pool_size,
         pool_slots=config.pool_slots,
-        pool_caps=config.pool_caps)
+        pool_caps=config.pool_caps,
+        slab_gather=config.slab_gather,
+        tier_a_cap=config.tier_a_cap)
     return attrs, cols, depth, binning
 
 

@@ -160,8 +160,10 @@ def resolve_pools(n: int, num_tiles: int,
     return pools
 
 
-def emission_capacity_pools(n: int, pools, chunk: int = 128) -> int:
-    raw = TIER_A_SLOTS * n + sum(s * c for s, c in pools)
+def emission_capacity_pools(n: int, pools, chunk: int = 128,
+                            tier_a_cap: int = 0) -> int:
+    a_rows = min(int(tier_a_cap), n) if tier_a_cap else n
+    raw = TIER_A_SLOTS * a_rows + sum(s * c for s, c in pools)
     return ((raw + chunk - 1) // chunk) * chunk
 
 
@@ -252,6 +254,8 @@ def bin_points_to_tiles(
     huge_pool_size: int = 256,
     pool_slots: Sequence[int] = (),
     pool_caps: Sequence[int] = (),
+    slab_gather: str = "row",
+    tier_a_cap: int = 0,
 ) -> TileBinning:
     """attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
     conic_c, logw, r, g, b, depth). When given, the result carries
@@ -272,7 +276,16 @@ def bin_points_to_tiles(
     s_max = pools[-1][0]
     tiles_x = camera_info.camera_width // TILE_WIDTH
     depth_bits = 31 - max(int(math.ceil(math.log2(num_tiles + 1))), 1)
-    em_cap = emission_capacity_pools(n, pools, chunk)
+    # tier-A compaction: with a probed tier_a_cap, tier A becomes one more
+    # pool tier selected by the category sort instead of a dense (2, N)
+    # grid - culled/invisible points then contribute ZERO rows to the main
+    # key sort (measured 430k bench: 36% of its pool is out-of-frustum per
+    # view, i.e. ~28% of sorted rows were pure padding). tier_a_cap == 0
+    # keeps the legacy all-N layout (no probe needed).
+    compact_a = bool(tier_a_cap) and int(tier_a_cap) < n
+    a_cap = min(int(tier_a_cap), n) if compact_a else n
+    em_cap = emission_capacity_pools(n, pools, chunk,
+                                     a_cap if compact_a else 0)
 
     min_u, max_u, min_v, max_v = tile_bbox(u, v, radius_x, radius_y,
                                            camera_info)
@@ -283,23 +296,26 @@ def bin_points_to_tiles(
     depth_q = jnp.clip((depth * depth_to_sort_key_scale).astype(jnp.int32),
                        0, (1 << depth_bits) - 1)
 
-    # ---- tier A: every point, 2 slots (laid out (2, N), see _emit_tier) ----
-    is_small = count_full <= TIER_A_SLOTS
-    count_a = jnp.where(is_small, count_full, 0)
-    slots_a = jnp.arange(TIER_A_SLOTS, dtype=jnp.int32)
-    keys_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
-                        tiles_x, depth_bits)                   # (2, N)
+    if not compact_a:
+        # ---- legacy tier A: every point, 2 slots, laid out (2, N) ----
+        is_small = count_full <= TIER_A_SLOTS
+        count_a = jnp.where(is_small, count_full, 0)
+        slots_a = jnp.arange(TIER_A_SLOTS, dtype=jnp.int32)
+        keys_a = _emit_tier(slots_a, count_a, min_u, min_v, dv, depth_q,
+                            tiles_x, depth_bits)               # (2, N)
 
     # ---- pools: ONE category sort selects every tier (no scatter) ---------
     # Tiers are ordered DESCENDING by slot size for the sort: category 0 =
-    # largest slots, ..., K-1 = smallest pool tier (count just above
-    # TIER_A_SLOTS), K = everything else (tier A / culled). After the
+    # largest slots, ..., K-1 = smallest tier (compacted tier A when
+    # enabled), K = everything else (culled, plus legacy tier A). After the
     # unstable sort each tier's ids start at the traced preceding-category
     # total, extracted with dynamic-start slices.
     desc = list(reversed(pools))            # [(slots, cap)] descending
+    if compact_a:
+        desc.append((TIER_A_SLOTS, a_cap))
     K = len(desc)
     cat = jnp.full((n,), K, jnp.int32)
-    lower = TIER_A_SLOTS
+    lower = 0 if compact_a else TIER_A_SLOTS
     for i in range(K - 1, -1, -1):          # smallest tier first
         cat = jnp.where(count_full > lower, jnp.int32(i), cat)
         lower = desc[i][0]
@@ -347,25 +363,27 @@ def bin_points_to_tiles(
                                     pool_tbl[3, sl], tiles_x, depth_bits))
 
     # ---- flatten + pad + one packed sort ------------------------------
-    # Tier-A emission reads the (N,) columns directly (gather-free); every
-    # pool tier's keys come from the shared gathered table. Padding slots
-    # carry INT32_MAX keys and sort to the end.
-    pt_a = jax.lax.broadcasted_iota(jnp.int32, (TIER_A_SLOTS, n), 1)
-    pad_len = (em_cap - TIER_A_SLOTS * n
+    # Legacy tier-A emission reads the (N,) columns directly (gather-free);
+    # every pool tier's keys come from the shared gathered table. Padding
+    # slots carry INT32_MAX keys and sort to the end.
+    pad_len = (em_cap - (0 if compact_a else TIER_A_SLOTS * n)
                - sum(s * c for s, c in desc))
 
     def _flatten(tier_a, tiers, pad_value, dtype):
+        head = [] if tier_a is None else [tier_a.reshape(-1).astype(dtype)]
         return jnp.concatenate(
-            [tier_a.reshape(-1).astype(dtype)]
-            + [t.reshape(-1).astype(dtype) for t in tiers]
+            head + [t.reshape(-1).astype(dtype) for t in tiers]
             + [jnp.full((pad_len,), pad_value, dtype)])
 
-    flat_keys = _flatten(keys_a, tier_keys, INT32_MAX, jnp.int32)
+    flat_keys = _flatten(None if compact_a else keys_a, tier_keys,
+                         INT32_MAX, jnp.int32)
     # the point id rides through the sort as a payload: deriving it from the
     # emission position afterwards would need an (EM_CAP,) gather from the
     # pool tables, which is slow on TPU
+    pt_a = (None if compact_a else
+            jax.lax.broadcasted_iota(jnp.int32, (TIER_A_SLOTS, n), 1))
     flat_ids = _flatten(
-        jnp.broadcast_to(pt_a, (TIER_A_SLOTS, n)),
+        pt_a,
         [jnp.broadcast_to(ids_i[None, :], (s_i, cap_i))
          for (s_i, cap_i), ids_i in zip(desc, pool_id_parts)],
         0, jnp.int32)
@@ -407,7 +425,24 @@ def bin_points_to_tiles(
         # and recomputes attributes per gathered element (measured 4.7 ms vs
         # 0.1 ms for the packed-table gather alone at 715k keys)
         rows = jax.lax.optimization_barrier(rows)
-        point_data = rows[:, sorted_point_idx]       # (16, MK)
+        if slab_gather == "row":
+            # ROW-major table gather with the transpose fused into the
+            # gather op: one index pulls a 64-byte CONTIGUOUS (1, 16) row
+            # instead of 16 strided 4-byte words across a 4*N-byte pitch
+            # (the column gather costs 6.6 ns/index - 4.06 ms at 430k and
+            # the dominant stage at megapoint scale; see benchmark/README
+            # round-5 attribution). out[j, 0, b] = rows_t[idx[b], j].
+            rows_t = rows.T                          # (N, 16)
+            point_data = jax.lax.gather(
+                rows_t, sorted_point_idx[None, :, None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(0,), collapsed_slice_dims=(0,),
+                    start_index_map=(0,)),
+                slice_sizes=(1, 16),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(16, -1)             # (16, MK)
+        else:
+            point_data = rows[:, sorted_point_idx]   # (16, MK)
 
     # per-point kept-key counts for the gradient routing's segment ends;
     # exact as long as no pool entry and no key was dropped (the routing
@@ -426,7 +461,7 @@ def bin_points_to_tiles(
     tile_starts = edges[:-1]
     tile_ends = edges[1:]
 
-    total_emitted = jnp.sum(count_a)
+    total_emitted = (jnp.int32(0) if compact_a else jnp.sum(count_a))
     for e in tier_emitted:
         total_emitted = total_emitted + e
     key_overflow = jnp.maximum(total_emitted - mk, 0)

@@ -155,6 +155,9 @@ class TrainConfig:
     # ~10-50 ms step), so streaming is only used when images have mixed
     # shapes or the cache would exceed the byte budget.
     cache_dataset_on_device: bool = True
+    # Morton-order the initial point pool (blend-slab gather locality; see
+    # models/scene.py spatially_sorted). Order-invariant up to sort ties.
+    spatial_sort: bool = True
     device_cache_max_bytes: int = 4 * 1024 ** 3
     rasterisation_config: RasterizerConfig = dataclasses.field(
         default_factory=RasterizerConfig)
@@ -201,8 +204,13 @@ def _escalate_budgets(rc, big_ovf: float, key_ovf: float, tile_ovf: bool,
     caps = rc.pool_caps
     slots = rc.pool_slots
     max_keys = rc.max_keys
+    tier_a_cap = rc.tier_a_cap
     if big_ovf > 0 and caps:
         caps = tuple(min(2 * c, n) for c in caps)
+    if big_ovf > 0 and tier_a_cap:
+        # tier-A drops also fire big_point_overflow (compacted tier A is a
+        # pool, ops/tiling.py); 0 stays 0 (the uncapped dense layout)
+        tier_a_cap = min(2 * tier_a_cap, n)
     if key_ovf > 0:
         chunk = int(rc.chunk)
         max_keys = ((int(max_keys * 1.5) + chunk - 1) // chunk) * chunk
@@ -210,7 +218,7 @@ def _escalate_budgets(rc, big_ovf: float, key_ovf: float, tile_ovf: bool,
         slots = slots + (2 * slots[-1],)
         caps = caps + (max(caps[-1] if caps else 64, 64),)
     return dataclasses.replace(rc, max_keys=max_keys, pool_slots=slots,
-                               pool_caps=caps)
+                               pool_caps=caps, tier_a_cap=tier_a_cap)
 
 
 def _downsample_item(item: DatasetItem, factor: int) -> DatasetItem:
@@ -362,11 +370,13 @@ def _scale_schedules_for_batch(config: TrainConfig) -> TrainConfig:
 
 class GaussianPointCloudTrainer:
     def __init__(self, config: TrainConfig):
+        # normalize defaults on the CALLER's config first (callers read
+        # output_model_dir back), then derive the batch-scaled copy
+        if config.output_model_dir is None:
+            config.output_model_dir = config.summary_writer_log_dir
         config = _scale_schedules_for_batch(config)
         self.config = config
         os.makedirs(config.summary_writer_log_dir, exist_ok=True)
-        if config.output_model_dir is None:
-            config.output_model_dir = config.summary_writer_log_dir
         os.makedirs(config.output_model_dir, exist_ok=True)
         self.logger = MetricsLogger(config.summary_writer_log_dir,
                                     config.print_metrics_to_console)
@@ -375,6 +385,12 @@ class GaussianPointCloudTrainer:
         self.scene = GaussianPointCloudScene.from_parquet(
             config.pointcloud_parquet_path,
             config.gaussian_point_cloud_scene_config, seed=config.seed)
+        if config.spatial_sort:
+            # Morton-order the initial pool: per-tile point-id locality is
+            # what the blend-slab gather caches on (models/scene.py
+            # spatially_sorted). Checkpoint resume overwrites the scene
+            # wholly, preserving its saved order/optimizer alignment.
+            self.scene = self.scene.spatially_sorted()
         n = self.scene.capacity
         self.ctrl_state = ControllerState.zeros(n)
         self.loss_fn = LossFunction(config.loss_function_config)
@@ -1125,9 +1141,16 @@ class GaussianPointCloudTrainer:
         for s, c in old_pools:
             merged[s] = max(merged.get(s, 0), c)
         slots = tuple(sorted(merged))
+        # tier-A cap merge: 0 means the UNCAPPED dense layout, which must
+        # win over any finite probe (monotonicity: never shrink capacity)
+        if old_rc.tier_a_cap == 0 or probed_rc.tier_a_cap == 0:
+            tier_a_cap = 0
+        else:
+            tier_a_cap = max(probed_rc.tier_a_cap, old_rc.tier_a_cap)
         return dataclasses.replace(
             probed_rc, max_keys=max(probed_rc.max_keys, old_rc.max_keys),
-            pool_slots=slots, pool_caps=tuple(merged[s] for s in slots))
+            pool_slots=slots, pool_caps=tuple(merged[s] for s in slots),
+            tier_a_cap=tier_a_cap)
 
     def _probe_ahead_capacity(self, iteration: int):
         """Probe-ahead capacity growth (runs at validation boundaries):

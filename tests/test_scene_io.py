@@ -189,3 +189,41 @@ def test_repo_config_library_loads():
     assert cfg.position_learning_rate_decay_rate == 0.9847
     assert cfg.adaptive_controller_config.num_iterations_reset_alpha == 4000
     assert cfg.gaussian_point_cloud_scene_config.add_sphere is True
+
+
+def test_spatially_sorted_is_a_permutation_with_locality():
+    """Morton ordering permutes valid points (invalid slots stay last) and
+    actually improves spatial locality of consecutive ids."""
+    import numpy as np
+    import jax.numpy as jnp
+    from taichi_3d_gaussian_splatting_tpu.models.scene import (
+        GaussianPointCloudScene)
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    pc = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    feats = rng.normal(size=(n, 56)).astype(np.float32)
+    invalid = (rng.random(n) < 0.25).astype(np.int8)
+    scene = GaussianPointCloudScene(
+        point_cloud=jnp.asarray(pc), point_cloud_features=jnp.asarray(feats),
+        point_invalid_mask=jnp.asarray(invalid),
+        point_object_id=jnp.asarray(np.arange(n, dtype=np.int32)))
+    s2 = scene.spatially_sorted()
+    # permutation: same multiset of (pc, feats) rows, object ids track
+    perm = np.asarray(s2.point_object_id)
+    assert sorted(perm.tolist()) == list(range(n))
+    np.testing.assert_array_equal(np.asarray(s2.point_cloud), pc[perm])
+    np.testing.assert_array_equal(np.asarray(s2.point_cloud_features),
+                                  feats[perm])
+    np.testing.assert_array_equal(np.asarray(s2.point_invalid_mask),
+                                  invalid[perm])
+    # invalid slots are all at the tail
+    inv2 = np.asarray(s2.point_invalid_mask)
+    first_invalid = int(np.argmax(inv2)) if inv2.any() else n
+    assert inv2[first_invalid:].all()
+    # locality: mean distance between consecutive valid points shrinks
+    valid2 = np.asarray(s2.point_cloud)[inv2 == 0]
+    valid1 = pc[invalid == 0]
+    d2 = np.linalg.norm(np.diff(valid2, axis=0), axis=1).mean()
+    d1 = np.linalg.norm(np.diff(valid1, axis=0), axis=1).mean()
+    assert d2 < 0.5 * d1, (d2, d1)

@@ -304,3 +304,95 @@ def test_resolve_pools_edges():
     # emission capacity is chunk-rounded and covers tier A + the ladder
     ec = emission_capacity_pools(100, [(4, 10), (32, 5)], chunk=128)
     assert ec >= 2 * 100 + 4 * 10 + 32 * 5 and ec % 128 == 0
+
+
+def test_slab_gather_row_matches_col():
+    """The row-major fused-transpose slab gather ("row", default) is a pure
+    layout change: point_data must be bit-identical to the strided column
+    gather ("col") it replaces for speed (benchmark/README round 5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
+    from taichi_3d_gaussian_splatting_tpu.ops import tiling
+
+    rng = np.random.default_rng(7)
+    n = 300
+    u = jnp.asarray(rng.uniform(0, 64, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 48, n).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(1, 10, n).astype(np.float32))
+    rx = jnp.asarray(rng.uniform(0.5, 20, n).astype(np.float32))
+    ry = jnp.asarray(rng.uniform(0.5, 20, n).astype(np.float32))
+    emit = jnp.asarray(rng.random(n) < 0.8)
+    intr = np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]], np.float32)
+    cam = CameraInfo(camera_intrinsics=intr, camera_height=48,
+                     camera_width=64)
+    cols = tuple(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                 for _ in range(10))
+    out = {}
+    for mode in ("row", "col"):
+        out[mode] = tiling.bin_points_to_tiles(
+            u, v, depth, rx, ry, emit, cam, max_tiles_per_point=16,
+            attr_cols=cols, slab_gather=mode)
+    np.testing.assert_array_equal(np.asarray(out["row"].point_data),
+                                  np.asarray(out["col"].point_data))
+    np.testing.assert_array_equal(np.asarray(out["row"].sorted_key),
+                                  np.asarray(out["col"].sorted_key))
+
+
+def test_tier_a_compaction_matches_dense_layout():
+    """tier_a_cap routes 1-2-tile splats through the category sort instead
+    of the dense (2, N) grid; on a tie-free fixture (distinct depths) the
+    sorted keys, ids, ranges, counters and blend slab must be identical to
+    the legacy layout, and invisible points must stop costing sort rows
+    (smaller emission capacity)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
+    from taichi_3d_gaussian_splatting_tpu.ops import tiling
+
+    rng = np.random.default_rng(11)
+    n = 400
+    u = jnp.asarray(rng.uniform(0, 64, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 48, n).astype(np.float32))
+    depth = jnp.asarray(np.linspace(1, 40, n).astype(np.float32))  # tie-free
+    rx = jnp.asarray(rng.uniform(0.5, 18, n).astype(np.float32))
+    ry = jnp.asarray(rng.uniform(0.5, 18, n).astype(np.float32))
+    emit = jnp.asarray(rng.random(n) < 0.6)
+    intr = np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]], np.float32)
+    cam = CameraInfo(camera_intrinsics=intr, camera_height=48,
+                     camera_width=64)
+    cols = tuple(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                 for _ in range(10))
+
+    def bin_with(cap):
+        # drop-free ladder: equivalence needs zero pool drops (unstable
+        # category-sort tie order makes WHICH points drop layout-dependent)
+        return tiling.bin_points_to_tiles(
+            u, v, depth, rx, ry, emit, cam,
+            pool_slots=(4, 8, 16), pool_caps=(400, 400, 400),
+            depth_to_sort_key_scale=50.0, attr_cols=cols, tier_a_cap=cap)
+
+    dense = bin_with(0)
+    compact = bin_with(256)   # cap > population: nothing dropped
+    assert int(compact.total_keys) == int(dense.total_keys)
+    assert int(compact.big_point_overflow) == 0
+    assert int(compact.tile_cap_overflow) == int(dense.tile_cap_overflow)
+    # the sorted prefix (valid keys) must agree exactly (tie-free fixture)
+    k = int(dense.total_keys)
+    np.testing.assert_array_equal(np.asarray(dense.sorted_key[:k]),
+                                  np.asarray(compact.sorted_key[:k]))
+    np.testing.assert_array_equal(np.asarray(dense.sorted_point_idx[:k]),
+                                  np.asarray(compact.sorted_point_idx[:k]))
+    np.testing.assert_array_equal(np.asarray(dense.tile_starts),
+                                  np.asarray(compact.tile_starts))
+    np.testing.assert_array_equal(np.asarray(dense.tile_ends),
+                                  np.asarray(compact.tile_ends))
+    np.testing.assert_array_equal(
+        np.asarray(dense.point_data[:, :k]),
+        np.asarray(compact.point_data[:, :k]))
+    # invisible/culled points cost zero rows: smaller emission buffer
+    assert compact.sorted_valid.shape[0] <= dense.sorted_valid.shape[0]
+
+    # an undersized cap DROPS (counted, never silent)
+    tiny = bin_with(8)
+    assert int(tiny.big_point_overflow) > 0
