@@ -118,8 +118,15 @@ def _spatial_sort(pc, feats):
     """Morton-order the bench scene (BENCH_SPATIAL_SORT=0 disables): the
     blend-slab gather pays per-index HBM latency, and parquet/random id
     order makes every key a TLB miss at megapoint tables (measured
-    12.5 ns/idx = 38 ms at 2.08M; see models/scene.py spatially_sorted)."""
-    if os.environ.get("BENCH_SPATIAL_SORT", "1") != "1":
+    12.5 ns/idx = 38 ms at 2.08M; see models/scene.py spatially_sorted).
+
+    Default OFF: the round-5 deconfounded matrix measured Morton order
+    neutral at 430k (71.52 vs 71.53 FPS) and a 8.3% LOSS at 2.08M (11.84
+    vs 12.91) - the synthetic heavy checkpoint generates cluster-contiguous
+    ids, which are already more gather-local than a global Z-order
+    interleave. Kept as an opt-in for scenes with genuinely random id
+    order (e.g. shuffled parquets)."""
+    if os.environ.get("BENCH_SPATIAL_SORT", "0") != "1":
         return pc, feats
     import jax.numpy as jnp
     from taichi_3d_gaussian_splatting_tpu.models.scene import (
@@ -215,8 +222,11 @@ def main():
     # the render pose - the budgets' cost is real (max_keys rows ride the
     # blend slab gather at ~6 ns/row), so unneeded headroom directly costs
     # FPS; the guard catches any probe-vs-render numeric drift loudly
-    cfg = auto_capacity_config(pc, feats, invalid, obj,
-                               [(q_cam, t_cam)], cam, cfg, headroom=1.05)
+    # tier-A compaction defaults OFF (measured 430k: 71.5 FPS with vs 74.1
+    # without - see ops/capacity.py); BENCH_TIER_A=1 re-enables for A/B
+    cfg = auto_capacity_config(
+        pc, feats, invalid, obj, [(q_cam, t_cam)], cam, cfg, headroom=1.05,
+        tier_a_compaction=os.environ.get("BENCH_TIER_A", "0") == "1")
 
     # chained timing: each call's input depends on the previous call's
     # output, so host-side dispatch through the axon tunnel cannot pipeline

@@ -97,7 +97,8 @@ def probe_workload(pointcloud, pointcloud_features, point_invalid_mask,
 def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
                          point_object_id, views: Sequence[Tuple],
                          camera_info: CameraInfo, base_config,
-                         headroom: float = 1.5):
+                         headroom: float = 1.5,
+                         tier_a_compaction: bool = False):
     """Return `base_config` with `max_keys` and the pool ladder
     (`pool_slots` / `pool_caps`) derived from the probed workload x
     `headroom`.
@@ -151,7 +152,17 @@ def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
     # out-of-frustum points stop contributing padding rows to the key sort
     # (ops/tiling.py tier_a_cap). Capped at n, where the dense layout is
     # used anyway.
-    tier_a_cap = min(max(int(-(-int(small_pop * headroom) // 8)) * 8, 8), n)
+    #
+    # DEFAULT OFF (measured, round 5, v5e): routing tier A through the
+    # category sort adds its population to the shared 5-column pool-table
+    # gather (~5 ns/idx; 5.8 ms/frame at 2.08M points, xprof trace
+    # tiling.py:349) which costs MORE than the padding rows it removes from
+    # the key sort save (~0.5 ms at 430k, ~3 ms at 2.08M). Deconfounded
+    # bench matrix: 430k 71.5 FPS with vs 74.1 without; 2.08M neutral.
+    # Kept as an opt-in for workloads where sort rows, not gather indices,
+    # are the binding cost (e.g. mostly-culled scenes at small tables).
+    tier_a_cap = (min(max(int(-(-int(small_pop * headroom) // 8)) * 8, 8), n)
+                  if tier_a_compaction else 0)
     return dataclasses.replace(
         base_config,
         max_keys=max_keys,

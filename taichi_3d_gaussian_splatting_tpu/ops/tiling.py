@@ -425,7 +425,25 @@ def bin_points_to_tiles(
         # and recomputes attributes per gathered element (measured 4.7 ms vs
         # 0.1 ms for the packed-table gather alone at 715k keys)
         rows = jax.lax.optimization_barrier(rows)
-        if slab_gather == "row":
+        if slab_gather == "rowb":
+            # like "row", but the barrier sits AFTER the transpose so the
+            # (N, 16) table is a materialized row-major array the gather
+            # reads contiguously. With the barrier before the transpose
+            # (mode "row"), XLA fuses the transpose INTO the gather and each
+            # "contiguous row" fetch degrades back to 16 strided words
+            # across a 4*N-byte pitch (suspected cause of the production
+            # 12.5 ns/idx vs the standalone probe's 6.6 ns/idx at a 2.08M
+            # table; scratch/perf_gather_ab.py).
+            rows_t = jax.lax.optimization_barrier(rows.T)   # (N, 16)
+            point_data = jax.lax.gather(
+                rows_t, sorted_point_idx[None, :, None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(0,), collapsed_slice_dims=(0,),
+                    start_index_map=(0,)),
+                slice_sizes=(1, 16),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(16, -1)             # (16, MK)
+        elif slab_gather == "row":
             # ROW-major table gather with the transpose fused into the
             # gather op: one index pulls a 64-byte CONTIGUOUS (1, 16) row
             # instead of 16 strided 4-byte words across a 4*N-byte pitch

@@ -41,8 +41,9 @@ def test_auto_budgets_prevent_overflow():
 
     cfg = auto_capacity_config(pc, feats, invalid, obj, [(q, t)], cam, base,
                                headroom=1.2)
-    emitted, pops, max_count = probe_workload(
+    emitted, pops, max_count, small_pop = probe_workload(
         pc, feats, invalid, obj, [(q, t)], cam, base)
+    assert small_pop >= 0
     assert emitted > 0 and sum(pops) > 0  # the fixture exercises the pools
     # the ladder covers every non-empty bucket with headroom
     from taichi_3d_gaussian_splatting_tpu.ops.capacity import LADDER

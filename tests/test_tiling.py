@@ -329,14 +329,15 @@ def test_slab_gather_row_matches_col():
     cols = tuple(jnp.asarray(rng.normal(size=n).astype(np.float32))
                  for _ in range(10))
     out = {}
-    for mode in ("row", "col"):
+    for mode in ("row", "col", "rowb"):
         out[mode] = tiling.bin_points_to_tiles(
             u, v, depth, rx, ry, emit, cam, max_tiles_per_point=16,
             attr_cols=cols, slab_gather=mode)
-    np.testing.assert_array_equal(np.asarray(out["row"].point_data),
-                                  np.asarray(out["col"].point_data))
-    np.testing.assert_array_equal(np.asarray(out["row"].sorted_key),
-                                  np.asarray(out["col"].sorted_key))
+    for mode in ("row", "rowb"):
+        np.testing.assert_array_equal(np.asarray(out[mode].point_data),
+                                      np.asarray(out["col"].point_data))
+        np.testing.assert_array_equal(np.asarray(out[mode].sorted_key),
+                                      np.asarray(out["col"].sorted_key))
 
 
 def test_tier_a_compaction_matches_dense_layout():
