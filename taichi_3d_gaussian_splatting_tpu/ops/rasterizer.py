@@ -377,13 +377,28 @@ def _blend_inputs_from_attrs(attrs):
     return cols, jax.lax.stop_gradient(attrs.depth)
 
 
-def _result_from_tile_out(tile_out, attrs, binning, camera_info):
+def _result_from_tile_out(tile_out, attrs, binning, camera_info,
+                          rgb_only=False):
     grid = TileGrid.from_camera(camera_info)
-    pix = _tiles_to_image(tile_out, grid)  # (H, W, 8)
-    image = pix[:, :, 0:3]
-    depth = jax.lax.stop_gradient(pix[:, :, BP.OUT_DEPTH])
-    count = jax.lax.stop_gradient(pix[:, :, BP.OUT_COUNT]).astype(jnp.int32)
-    acc_alpha = jax.lax.stop_gradient(pix[:, :, BP.OUT_ACC_ALPHA])
+    if rgb_only:
+        # the rgb kernel leaves the depth/count bookkeeping channels
+        # unwritten (reference rgb_only semantics); transpose only the 4
+        # meaningful channels - the (T, C, 256) -> (H, W, C) layout change
+        # is minor-dim-hostile on TPU and costs ~0.05 ms per channel at
+        # 976x544 (xprof, rasterizer reshape/copy rows), so moving the 4
+        # junk channels was pure waste
+        pix = _tiles_to_image(tile_out[:, 0:BP.OUT_ACC_ALPHA + 1, :], grid)
+        image = pix[:, :, 0:3]
+        acc_alpha = jax.lax.stop_gradient(pix[:, :, BP.OUT_ACC_ALPHA])
+        depth = jnp.zeros_like(acc_alpha)
+        count = jnp.zeros(acc_alpha.shape, jnp.int32)
+    else:
+        pix = _tiles_to_image(tile_out, grid)  # (H, W, 8)
+        image = pix[:, :, 0:3]
+        depth = jax.lax.stop_gradient(pix[:, :, BP.OUT_DEPTH])
+        count = jax.lax.stop_gradient(
+            pix[:, :, BP.OUT_COUNT]).astype(jnp.int32)
+        acc_alpha = jax.lax.stop_gradient(pix[:, :, BP.OUT_ACC_ALPHA])
     aux = RasterizerAux(
         in_frustum=attrs.in_frustum,
         point_uv=jax.lax.stop_gradient(attrs.uv),
