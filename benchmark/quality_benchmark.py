@@ -88,6 +88,10 @@ def _write_dataset(records, out_dir, holdout_every=8):
 def _summarize(out_dir, meta):
     traj = []
     npts = -1
+    recoveries = 0
+    nonfinite_grad_rows = 0.0
+    nonfinite_points = 0.0
+    skipped_steps = 0.0
     with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
@@ -96,6 +100,14 @@ def _summarize(out_dir, meta):
                              round(rec.get("val/ssim", 0.0), 4)))
             if "value/num_valid_points" in rec:
                 npts = rec["value/num_valid_points"]
+            if "train/capacity_recovery_max_keys" in rec:
+                recoveries += 1
+            # containment telemetry is logged as windowed means; scale by
+            # the window to recover (approximate) event totals
+            if "train/nonfinite_grad_rows" in rec:
+                nonfinite_grad_rows += rec["train/nonfinite_grad_rows"]
+                nonfinite_points += rec.get("train/nonfinite_points", 0.0)
+                skipped_steps += rec.get("train/skipped_nonfinite_step", 0.0)
     if npts < 0:
         # densify never logged (short run / warm-up): count the final scene
         try:
@@ -112,6 +124,11 @@ def _summarize(out_dir, meta):
     meta.update({
         "value": final[1], "best": best, "final_ssim": final[2],
         "points": npts, "trajectory": traj,
+        "capacity_recoveries": recoveries,
+        # windowed-mean sums (see loop above): 0.0 means zero events
+        "nonfinite_grad_rows_mean_sum": round(nonfinite_grad_rows, 3),
+        "nonfinite_points_mean_sum": round(nonfinite_points, 3),
+        "skipped_nonfinite_steps_mean_sum": round(skipped_steps, 3),
     })
     print(json.dumps(meta), flush=True)
     return meta
