@@ -208,7 +208,10 @@ def main():
                            chunk=int(os.environ.get("BENCH_CHUNK", "128")),
                            # slab gather formulation A/B (ops/tiling.py)
                            slab_gather=os.environ.get("BENCH_SLAB_GATHER",
-                                                      "row"))
+                                                      "row"),
+                           # pool-entry metadata transport A/B (ops/tiling.py)
+                           pool_meta=os.environ.get("BENCH_POOL_META",
+                                                    "auto"))
 
     pc, feats = load_scene()
     n = pc.shape[0]

@@ -87,6 +87,12 @@ class RasterizerConfig:
     # points add ZERO rows to the main key sort; 0 keeps the probe-free
     # all-N layout. Auto-sized by ops/capacity.py (see ops/tiling.py)
     tier_a_cap: int = 0
+    # pool-entry metadata transport: "packed" carries (min_u, min_v, dv,
+    # count) + depth_q as two int32 payload operands of the category sort
+    # (no gather); "gather" is the legacy 5-column packed-table gather by
+    # pool id; "auto" packs whenever the tile grid's bit budget fits
+    # (see ops/tiling.py)
+    pool_meta: str = "auto"
 
     @property
     def tile_scan_bound(self) -> int:
@@ -358,7 +364,8 @@ def _project_and_bin(pointcloud, pointcloud_features, point_invalid_mask,
         pool_slots=config.pool_slots,
         pool_caps=config.pool_caps,
         slab_gather=config.slab_gather,
-        tier_a_cap=config.tier_a_cap)
+        tier_a_cap=config.tier_a_cap,
+        pool_meta=config.pool_meta)
     return attrs, cols, depth, binning
 
 

@@ -256,6 +256,7 @@ def bin_points_to_tiles(
     pool_caps: Sequence[int] = (),
     slab_gather: str = "row",
     tier_a_cap: int = 0,
+    pool_meta: str = "auto",
 ) -> TileBinning:
     """attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
     conic_c, logw, r, g, b, depth). When given, the result carries
@@ -321,10 +322,41 @@ def bin_points_to_tiles(
         lower = desc[i][0]
     # count_full > s_max also lands in category 0 (truncated to s_max slots:
     # the excess tiles are counted in tile_cap_overflow)
-    _, sorted_ids_by_cat = jax.lax.sort(
-        (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
+
+    # per-entry emission metadata (min_u, min_v, dv, depth_q, count): either
+    # PACKED into two extra int32 payload operands riding the category sort
+    # (costs ~0.7 ns/point/operand, no gather) or the legacy 5-column
+    # packed-table gather by pool id (~5 ns/index - 5.8 ms/frame at 2.08M
+    # where tier-A compaction put ~1.2M entries through it, xprof trace).
+    # The payloads make tier-A compaction affordable: removing the dense
+    # 2N tier-A rows from the main key sort no longer buys a gather.
+    tiles_y = camera_info.camera_height // TILE_HEIGHT
+    bu = max(int(tiles_x).bit_length(), 1)        # min_u in [0, tiles_x]
+    bv = max(int(tiles_y).bit_length(), 1)        # min_v in [0, tiles_y]
+    bdv = bv                                      # dv in [0, tiles_y]
+    bcnt = max(int(num_tiles).bit_length(), 1)    # count in [0, num_tiles]
+    packed_ok = bu + bv + bdv + bcnt <= 31
+    if pool_meta not in ("auto", "packed", "gather"):
+        raise ValueError(f"pool_meta must be auto|packed|gather, "
+                         f"got {pool_meta!r}")
+    if pool_meta == "packed" and not packed_ok:
+        raise ValueError(
+            f"pool_meta='packed' needs {bu}+{bv}+{bdv}+{bcnt} <= 31 bits "
+            f"(tile grid {tiles_x}x{tiles_y})")
+    use_packed = packed_ok if pool_meta == "auto" else pool_meta == "packed"
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if use_packed:
+        p0 = (min_u + (min_v << bu) + (dv << (bu + bv))
+              + (count_full << (bu + bv + bdv)))
+        _, sorted_ids_by_cat, p0_s, dq_s = jax.lax.sort(
+            (cat, iota, p0, depth_q), num_keys=1, is_stable=False)
+    else:
+        _, sorted_ids_by_cat = jax.lax.sort(
+            (cat, iota), num_keys=1, is_stable=False)
 
     pool_id_parts = []
+    meta_parts = []
     active_parts = []
     prefix = jnp.int32(0)
     big_point_overflow = jnp.int32(0)
@@ -335,6 +367,16 @@ def bin_points_to_tiles(
         start_i = jnp.minimum(prefix, jnp.int32(max(n - cap_i, 0)))
         ids_i = jax.lax.dynamic_slice(sorted_ids_by_cat, (start_i,),
                                       (cap_i,))
+        if use_packed:
+            p0_i = jax.lax.dynamic_slice(p0_s, (start_i,), (cap_i,))
+            dq_i = jax.lax.dynamic_slice(dq_s, (start_i,), (cap_i,))
+            meta_parts.append((
+                p0_i & ((1 << bu) - 1),                    # min_u
+                (p0_i >> bu) & ((1 << bv) - 1),            # min_v
+                (p0_i >> (bu + bv)) & ((1 << bdv) - 1),    # dv
+                dq_i,                                      # depth_q
+                p0_i >> (bu + bv + bdv),                   # count
+            ))
         pos_i = start_i + jnp.arange(cap_i, dtype=jnp.int32)
         active_i = (pos_i >= prefix) & (pos_i < prefix + n_i)
         big_point_overflow = big_point_overflow + (
@@ -343,24 +385,27 @@ def bin_points_to_tiles(
         active_parts.append(active_i)
         prefix = prefix + n_i
 
-    # per-entry emission inputs for ALL pools: one packed-table gather
-    # (5 int32 columns x sum(pool capacities) indices)
-    pool_ids = jnp.concatenate(pool_id_parts)
-    pool_tbl = jnp.stack([min_u, min_v, dv, depth_q, count_full],
-                         axis=0)[:, pool_ids]
+    if not use_packed:
+        # legacy: one packed-table gather (5 int32 columns x sum(pool
+        # capacities) indices)
+        pool_ids = jnp.concatenate(pool_id_parts)
+        pool_tbl = jnp.stack([min_u, min_v, dv, depth_q, count_full],
+                             axis=0)[:, pool_ids]
     tier_keys = []
     tier_emitted = []
     off = 0
     for i, (s_i, cap_i) in enumerate(desc):
-        sl = slice(off, off + cap_i)
+        if use_packed:
+            src = meta_parts[i]
+        else:
+            sl = slice(off, off + cap_i)
+            src = tuple(pool_tbl[j, sl] for j in range(5))
         off += cap_i
-        cnt = jnp.where(active_parts[i],
-                        jnp.minimum(pool_tbl[4, sl], s_i), 0)
+        cnt = jnp.where(active_parts[i], jnp.minimum(src[4], s_i), 0)
         tier_emitted.append(jnp.sum(cnt))
         slots_i = jnp.arange(s_i, dtype=jnp.int32)
-        tier_keys.append(_emit_tier(slots_i, cnt, pool_tbl[0, sl],
-                                    pool_tbl[1, sl], pool_tbl[2, sl],
-                                    pool_tbl[3, sl], tiles_x, depth_bits))
+        tier_keys.append(_emit_tier(slots_i, cnt, src[0], src[1], src[2],
+                                    src[3], tiles_x, depth_bits))
 
     # ---- flatten + pad + one packed sort ------------------------------
     # Legacy tier-A emission reads the (N,) columns directly (gather-free);

@@ -397,3 +397,66 @@ def test_tier_a_compaction_matches_dense_layout():
     # an undersized cap DROPS (counted, never silent)
     tiny = bin_with(8)
     assert int(tiny.big_point_overflow) > 0
+
+
+def test_pool_meta_packed_matches_gather():
+    """pool_meta='packed' carries (min_u, min_v, dv, count) + depth_q as
+    category-sort payload operands instead of the legacy 5-column gather;
+    on a tie-free fixture every downstream artifact must be identical, for
+    both the dense and the compacted tier-A layouts."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
+    from taichi_3d_gaussian_splatting_tpu.ops import tiling
+
+    rng = np.random.default_rng(13)
+    n = 400
+    u = jnp.asarray(rng.uniform(0, 64, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 48, n).astype(np.float32))
+    depth = jnp.asarray(np.linspace(1, 40, n).astype(np.float32))  # tie-free
+    rx = jnp.asarray(rng.uniform(0.5, 18, n).astype(np.float32))
+    ry = jnp.asarray(rng.uniform(0.5, 18, n).astype(np.float32))
+    emit = jnp.asarray(rng.random(n) < 0.6)
+    intr = np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]], np.float32)
+    cam = CameraInfo(camera_intrinsics=intr, camera_height=48,
+                     camera_width=64)
+    cols = tuple(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                 for _ in range(10))
+
+    def bin_with(meta, cap):
+        return tiling.bin_points_to_tiles(
+            u, v, depth, rx, ry, emit, cam,
+            pool_slots=(4, 8, 16), pool_caps=(400, 400, 400),
+            depth_to_sort_key_scale=50.0, attr_cols=cols,
+            tier_a_cap=cap, pool_meta=meta)
+
+    for cap in (0, 256):
+        g = bin_with("gather", cap)
+        p = bin_with("packed", cap)
+        assert int(p.total_keys) == int(g.total_keys)
+        assert int(p.big_point_overflow) == int(g.big_point_overflow)
+        assert int(p.tile_cap_overflow) == int(g.tile_cap_overflow)
+        k = int(g.total_keys)
+        np.testing.assert_array_equal(np.asarray(g.sorted_key[:k]),
+                                      np.asarray(p.sorted_key[:k]))
+        np.testing.assert_array_equal(np.asarray(g.sorted_point_idx[:k]),
+                                      np.asarray(p.sorted_point_idx[:k]))
+        np.testing.assert_array_equal(np.asarray(g.tile_starts),
+                                      np.asarray(p.tile_starts))
+        np.testing.assert_array_equal(np.asarray(g.tile_ends),
+                                      np.asarray(p.tile_ends))
+        np.testing.assert_array_equal(np.asarray(g.point_data[:, :k]),
+                                      np.asarray(p.point_data[:, :k]))
+
+    # a grid too large for the 31-bit budget must refuse loudly in packed
+    # mode (auto falls back to the gather)
+    with pytest.raises(ValueError):
+        big_cam = CameraInfo(
+            camera_intrinsics=np.array([[4000.0, 0, 16384],
+                                        [0, 4000.0, 16384], [0, 0, 1]],
+                                       np.float32),
+            camera_height=32768, camera_width=32768)
+        tiling.bin_points_to_tiles(
+            u, v, depth, rx, ry, emit, big_cam,
+            pool_slots=(4,), pool_caps=(400,), pool_meta="packed")
