@@ -231,6 +231,9 @@ def main_quick():
         num_iterations=iters,
         batch_size=batch,
         mesh_devices=mesh,
+        # batch-compensation A/B knobs (benchmark/batch_parity.py ladder)
+        scale_lr_with_batch=os.environ.get("QB_LR_SCALE", "sqrt"),
+        scale_betas_with_batch=os.environ.get("QB_SCALE_BETAS", "0") == "1",
         val_interval=max(iters // 8, 100),
         feature_learning_rate=0.01,
         position_learning_rate=2e-4,

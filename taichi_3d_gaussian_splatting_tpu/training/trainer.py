@@ -148,6 +148,13 @@ class TrainConfig:
     # normalization makes the update scale-invariant, so this is a real
     # step-size increase, not a renormalization.
     scale_lr_with_batch: str = "sqrt"   # none | sqrt | linear
+    # Adam effective-horizon compensation for batch>1: raise the betas to
+    # the batch_size'th power so the moment EMAs decay per IMAGE instead of
+    # per step (0.9^B, 0.999^B). Measured on the batch-parity protocol
+    # (benchmark/README.md): sqrt LR + betas = -1.20 dB vs single-view,
+    # sqrt LR alone = -1.31 dB - a noise-level 0.11 dB gain, so it
+    # defaults off; kept as a knob for longer-horizon workloads.
+    scale_betas_with_batch: bool = False
     # device-side dataset cache: upload every (downsampled) training image
     # and pose ONCE per downsample factor, then index device arrays per
     # step. Host->device transfers through a remote-TPU tunnel cost ~65 ms
@@ -413,9 +420,13 @@ class GaussianPointCloudTrainer:
             # iterations 0, interval, 2*interval, ... (reference: :183-184)
             return pos_base * gamma ** jnp.ceil(count / interval)
 
-        self.feature_optimizer = optax.adam(feat_lr, b1=0.9, b2=0.999,
+        b = max(int(config.batch_size), 1)
+        b1, b2 = ((0.9 ** b, 0.999 ** b)
+                  if config.scale_betas_with_batch and b > 1 else
+                  (0.9, 0.999))
+        self.feature_optimizer = optax.adam(feat_lr, b1=b1, b2=b2,
                                             eps=1e-8)
-        self.position_optimizer = optax.adam(pos_schedule, b1=0.9, b2=0.999,
+        self.position_optimizer = optax.adam(pos_schedule, b1=b1, b2=b2,
                                              eps=1e-8)
         self.opt_state_features = self.feature_optimizer.init(
             self.scene.point_cloud_features)
