@@ -119,6 +119,15 @@ class TrainConfig:
     # TPU backend at production scale - see benchmark/README.md), so budgets
     # only ever grow (monotonic merge) to prevent recompile churn.
     capacity_recovery: bool = True
+    # a reactive recovery pays a full recompile (tens of minutes at
+    # production scale) to stop dropped work for the REMAINING iterations -
+    # a trade that is always bad near the end of the run (observed on the
+    # round-5 campaign: a ~40 min recompile fired at iteration ~29.4k of
+    # 30k over a counted drizzle of overflow). Within the final
+    # `recovery_tail_fraction` of training the guard therefore keeps the
+    # counted, non-silent overflow instead of recovering; probe-ahead
+    # growth at validation boundaries is unaffected.
+    recovery_tail_fraction: float = 0.02
     # probe-ahead capacity: at every validation boundary, re-probe the
     # CURRENT scene and pre-grow any budget within `margin` of its probed
     # peak (to the full auto_capacity_headroom). Recompiles then land at
@@ -404,6 +413,7 @@ class GaussianPointCloudTrainer:
         self.best_psnr_score = 0.0
         self._overflow_strikes = 0
         self._overflow_ignore_until = -1
+        self._recovery_tail_suppressed = False
         self._last_flush_iteration = -1
         self.key = jax.random.PRNGKey(config.seed)
 
@@ -1128,8 +1138,23 @@ class GaussianPointCloudTrainer:
                         f"capacity overflow persisted for "
                         f"{self._overflow_strikes} consecutive checks: {msg}")
                 if self.config.capacity_recovery:
-                    self._recover_capacity(iteration, ovf, kovf,
-                                           tovf > 0.05 * keys)
+                    tail = int(self.config.num_iterations
+                               * self.config.recovery_tail_fraction)
+                    if iteration >= self.config.num_iterations - tail:
+                        if not self._recovery_tail_suppressed:
+                            self._recovery_tail_suppressed = True
+                            print(
+                                f"capacity recovery SUPPRESSED at iteration "
+                                f"{iteration}: within the final {tail} "
+                                f"iterations a recompile costs more than the "
+                                f"counted overflow it would recover "
+                                f"(big={ovf:.0f} key={kovf:.0f} "
+                                f"tile={tovf:.0f} of {keys:.0f} keys); "
+                                f"overflow stays counted in the metrics",
+                                flush=True)
+                    else:
+                        self._recover_capacity(iteration, ovf, kovf,
+                                               tovf > 0.05 * keys)
         else:
             self._overflow_strikes = 0
 

@@ -67,6 +67,49 @@ def test_overflow_checks_skip_stale_pre_recovery_counters():
     assert trainer._overflow_strikes == 1
 
 
+def test_recovery_suppressed_in_the_tail_window():
+    """A reactive recovery inside the final recovery_tail_fraction of the
+    run must be suppressed (a multi-minute recompile to stop a counted
+    drizzle of overflow for a few hundred iterations is always a bad
+    trade - observed live on the round-5 campaign at iteration ~29.4k of
+    30k), while the same strikes BEFORE the tail window still recover."""
+    calls = []
+
+    class _NullLogger:
+        def scalars(self, *a, **k):
+            pass
+
+    def make(num_iterations):
+        t = GaussianPointCloudTrainer.__new__(GaussianPointCloudTrainer)
+        t.config = TrainConfig(capacity_recovery=True,
+                               fail_on_capacity_overflow=False,
+                               num_iterations=num_iterations,
+                               recovery_tail_fraction=0.02)
+        t._overflow_strikes = 0
+        t._overflow_ignore_until = -1
+        t._recovery_tail_suppressed = False
+        t.logger = _NullLogger()
+        t._recover_capacity = (
+            lambda iteration, *a, **k: calls.append(iteration))
+        return t
+
+    bad = {"big_point_overflow": 2.0, "key_overflow": 0.0,
+           "tile_cap_overflow": 26.0, "total_keys": 940312.0}
+
+    # inside the tail (30000 * 0.02 = 600): 3 strikes -> suppressed
+    t = make(30000)
+    for it in (29410, 29420, 29430):
+        t._check_capacity_overflow(it, bad)
+    assert calls == []
+    assert t._recovery_tail_suppressed
+
+    # before the tail: 3 strikes -> recovery fires as before
+    t = make(30000)
+    for it in (10010, 10020, 10030):
+        t._check_capacity_overflow(it, bad)
+    assert calls == [10030]
+
+
 @pytest.mark.slow
 def test_capacity_recovery_end_to_end(tmp_path):
     train_json, val_json, parquet = _make_synthetic_dataset(tmp_path)
