@@ -225,11 +225,12 @@ def main():
     # the render pose - the budgets' cost is real (max_keys rows ride the
     # blend slab gather at ~6 ns/row), so unneeded headroom directly costs
     # FPS; the guard catches any probe-vs-render numeric drift loudly
-    # tier-A compaction defaults OFF (measured 430k: 71.5 FPS with vs 74.1
-    # without - see ops/capacity.py); BENCH_TIER_A=1 re-enables for A/B
+    # tier-A compaction defaults ON since pool_meta='packed' removed its
+    # gather cost (measured 430k: 77.84 FPS with vs 74.33 without - see
+    # ops/capacity.py); BENCH_TIER_A=0 restores the dense layout for A/B
     cfg = auto_capacity_config(
         pc, feats, invalid, obj, [(q_cam, t_cam)], cam, cfg, headroom=1.05,
-        tier_a_compaction=os.environ.get("BENCH_TIER_A", "0") == "1")
+        tier_a_compaction=os.environ.get("BENCH_TIER_A", "1") == "1")
 
     # chained timing: each call's input depends on the previous call's
     # output, so host-side dispatch through the axon tunnel cannot pipeline

@@ -98,7 +98,7 @@ def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
                          point_object_id, views: Sequence[Tuple],
                          camera_info: CameraInfo, base_config,
                          headroom: float = 1.5,
-                         tier_a_compaction: bool = False):
+                         tier_a_compaction: bool = True):
     """Return `base_config` with `max_keys` and the pool ladder
     (`pool_slots` / `pool_caps`) derived from the probed workload x
     `headroom`.
@@ -153,14 +153,17 @@ def auto_capacity_config(pointcloud, pointcloud_features, point_invalid_mask,
     # (ops/tiling.py tier_a_cap). Capped at n, where the dense layout is
     # used anyway.
     #
-    # DEFAULT OFF (measured, round 5, v5e): routing tier A through the
-    # category sort adds its population to the shared 5-column pool-table
-    # gather (~5 ns/idx; 5.8 ms/frame at 2.08M points, xprof trace
-    # tiling.py:349) which costs MORE than the padding rows it removes from
-    # the key sort save (~0.5 ms at 430k, ~3 ms at 2.08M). Deconfounded
-    # bench matrix: 430k 71.5 FPS with vs 74.1 without; 2.08M neutral.
-    # Kept as an opt-in for workloads where sort rows, not gather indices,
-    # are the binding cost (e.g. mostly-culled scenes at small tables).
+    # DEFAULT ON (measured, round 5, v5e). History: with pool metadata
+    # looked up through a 5-column pool-table gather, tier A routed through
+    # the category sort LOST (430k: 71.5 FPS with vs 74.1 without - the
+    # added gather indices cost more than the removed sort padding, xprof
+    # trace tiling.py). With pool_meta='packed' (metadata carried as int32
+    # payload operands of the already-needed category sort, ~0.7 ns/row
+    # per operand) the gather is gone and the compaction's sort-row saving
+    # stands alone: 430k 77.84 FPS with vs 74.33 without (+4.7%, the
+    # margin that puts the bench at 1.234x the RTX-3090 bar); 2.08M
+    # neutral-to-positive. bench.py BENCH_TIER_A=0 restores the dense
+    # all-N tier-A layout for A/B.
     tier_a_cap = (min(max(int(-(-int(small_pop * headroom) // 8)) * 8, 8), n)
                   if tier_a_compaction else 0)
     return dataclasses.replace(
