@@ -190,7 +190,7 @@ def main():
     import jax.numpy as jnp
     from taichi_3d_gaussian_splatting_tpu.camera import CameraInfo
     from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
-        RasterizerConfig, rasterize)
+        RasterizerConfig, _resolve_slab_format, rasterize)
 
     from taichi_3d_gaussian_splatting_tpu.ops.capacity import (
         auto_capacity_config)
@@ -211,7 +211,13 @@ def main():
                                                       "row"),
                            # pool-entry metadata transport A/B (ops/tiling.py)
                            pool_meta=os.environ.get("BENCH_POOL_META",
-                                                    "auto"))
+                                                    "auto"),
+                           # blend-slab layout: "auto" switches to the
+                           # half-size packed8 table at >= 1M points, where
+                           # the gather's per-index cost cliffs with table
+                           # size (ops/rasterizer.py _resolve_slab_format)
+                           slab_format=os.environ.get("BENCH_SLAB_FORMAT",
+                                                      "auto"))
 
     pc, feats = load_scene()
     n = pc.shape[0]
@@ -275,6 +281,12 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / _baseline_fps(n), 3),
         "baseline_points": _baseline_points(n),
+        # the record self-describes the slab layout used: "packed8" carries
+        # colors/depth as round-to-nearest bf16 (error < the 1/255 display
+        # quantization; geometry/alpha exact f32) - the default since it
+        # measured faster at every scale (ops/rasterizer.py
+        # _resolve_slab_format); BENCH_SLAB_FORMAT=wide16 forces exact f32
+        "slab_format": _resolve_slab_format(cfg, n),
         # dropped-work counters carried inline so the recorded JSON itself
         # proves the FPS renders everything (0s = nothing truncated)
         "key_overflow": int(probe.aux.key_overflow),

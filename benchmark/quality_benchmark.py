@@ -417,7 +417,11 @@ def main_full():
             floater_num_pixels_threshold=400000,
             floater_near_camrea_num_pixels_threshold=300000,
             transparent_alpha_threshold=-2.0,
-            densification_view_space_position_gradients_threshold=3e-6,
+            # lower threshold -> more aggressive densification; the knob
+            # exists to push campaigns into the reference's 400k+ point
+            # regime (reference Truck lands at 428,687, README.md:66)
+            densification_view_space_position_gradients_threshold=float(
+                os.environ.get("QB_FULL_DENSIFY_TH", "3e-6")),
             under_reconstructed_num_pixels_threshold=32,
             under_reconstructed_move_factor=10.0,
             gaussian_split_factor_phi=1.6),

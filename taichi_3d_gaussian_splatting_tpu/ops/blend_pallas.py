@@ -68,6 +68,10 @@ ROW_B_COL = 10
 ROW_DEPTH = 11
 ROW_ONE = 12
 NUM_DATA_ROWS = 16
+# packed8 slab (inference): 8 int32 rows [u, v, ca, cb, cc, logw (f32
+# bitcasts), bf16(r)|bf16(g), bf16(b)|bf16(depth)] - see ops/tiling.py
+# _packed8_slab. Halves the gathered table bytes at megapoint scale.
+PACKED_DATA_ROWS = 8
 
 # Row layout of the (16, MAX_KEYS) backward per-key gradient slab
 GROW_DU = 0
@@ -156,6 +160,34 @@ def _tile_origin(tile_id, tiles_per_row):
     tcx = (tile_u * TILE_WIDTH).astype(jnp.float32)
     tcy = (tile_v * TILE_HEIGHT).astype(jnp.float32)
     return tcx, tcy
+
+
+def _slab_views(data):
+    """Unify the two slab layouts into (head6, out_slab) f32 views.
+
+    head6: rows [u, v, ca, cb, cc, logw] (6, C) - what _chunk_coefs reads.
+    out_slab: rows [r, g, b, depth, one, 0, 0, 0] (8, C) - the MXU
+    accumulation operand.
+
+    wide16 f32 slabs pass through as plain slices; packed8 int32 slabs
+    (see ops/tiling.py _packed8_slab) bitcast rows 0..5 back to f32 and
+    split rows 6..7 into their bf16 halves (a bf16's bits ARE the top 16
+    of the f32 pattern, so the unpack is mask/shift + bitcast - no
+    conversion math)."""
+    if data.dtype == jnp.float32:
+        return data[0:6, :], data[8:16, :]
+    head = jax.lax.bitcast_convert_type(data[0:6, :], jnp.float32)
+    hi_mask = jnp.int32(-1 << 16)
+    rg = data[6:7, :]
+    bd = data[7:8, :]
+    r = jax.lax.bitcast_convert_type(rg & hi_mask, jnp.float32)
+    g = jax.lax.bitcast_convert_type(rg << 16, jnp.float32)
+    b = jax.lax.bitcast_convert_type(bd & hi_mask, jnp.float32)
+    dpt = jax.lax.bitcast_convert_type(bd << 16, jnp.float32)
+    one = jnp.ones_like(r)
+    zero = jnp.zeros_like(r)
+    return head, jnp.concatenate([r, g, b, dpt, one, zero, zero, zero],
+                                 axis=0)
 
 
 def _chunk_coefs(data, tcx, tcy):
@@ -269,9 +301,12 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
 
         get_dma(i).wait()
         data = chunk_buf[jax.lax.rem(i, 2)]
+        head, slab = _slab_views(data)       # (6, chunk) coefs; (8, chunk)
+        #   [r, g, b, depth, one, 0...] accumulation operand (wide16 slices
+        #   through; packed8 bitcast-unpacks - see _slab_views)
 
         a_exp, a_v, _, _, _, gidx = _chunk_alpha(
-            data, mono, tcx, tcy, start, end, col0, chunk)
+            head, mono, tcx, tcy, start, end, col0, chunk)
         one_minus = 1.0 - a_v                                # (chunk, 256)
 
         # transmittance recursion via one sublane doubling scan; saturation
@@ -280,7 +315,6 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
         contribute, T, sat = _saturation_masks(a_v, T_i, one_minus, T, sat)
 
         weight = contribute * a_v * T_i                       # (chunk, 256)
-        slab = data[8:16, :]                                  # r,g,b,depth,one
         acc = acc + jax.lax.dot_general(
             slab, weight, (((1,), (0,)), ((), ())), **_DOT)   # (8, 256)
 
@@ -330,7 +364,13 @@ def _forward_kernel(starts_ref, ends_ref,       # scalar prefetch (SMEM)
 
 def _forward_call(point_data, tile_starts, tile_ends, *,
                   num_tiles, tiles_per_row, chunk, rgb_only):
-    assert point_data.shape[0] == NUM_DATA_ROWS
+    data_rows = point_data.shape[0]
+    assert data_rows in (NUM_DATA_ROWS, PACKED_DATA_ROWS)
+    # packed8 slabs are int32 (bitcast rows) and inference-only
+    assert point_data.dtype == (
+        jnp.int32 if data_rows == PACKED_DATA_ROWS else jnp.float32)
+    assert rgb_only or data_rows == NUM_DATA_ROWS, \
+        "packed8 slab is rgb_only-only (training keeps the exact wide16)"
     max_keys = point_data.shape[1]
     assert max_keys % chunk == 0, "MAX_KEYS must be a multiple of chunk"
     interpret = _use_interpret()
@@ -347,7 +387,7 @@ def _forward_call(point_data, tile_starts, tile_ends, *,
                                lambda t, s, e: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_DATA_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, data_rows, chunk), point_data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -380,7 +420,8 @@ def blend_forward_rgb(point_data, tile_starts, tile_ends, *,
     """Inference-only forward blend (reference rgb_only template flag,
     reference: GaussianPointCloudRasterisation.py:342,409,464): skips the
     last-effective-offset / valid-count / depth bookkeeping (backward-only
-    outputs). Same slab layout as `blend_forward`."""
+    outputs). Accepts the (16, MK) f32 wide16 slab OR the (8, MK) int32
+    packed8 slab (ops/tiling.py _packed8_slab)."""
     return _forward_call(point_data, tile_starts, tile_ends,
                          num_tiles=num_tiles, tiles_per_row=tiles_per_row,
                          chunk=chunk, rgb_only=True)

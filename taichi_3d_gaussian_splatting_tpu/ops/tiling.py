@@ -235,6 +235,44 @@ def _emit_tier(slots, count, min_u, min_v, dv, depth_q, tiles_x, depth_bits):
     return jnp.where(valid, key, INT32_MAX)
 
 
+def _bf16_hi(x):
+    """Round-to-nearest bf16 of f32 `x`, as the HIGH 16 bits of an int32
+    (bf16 bits are exactly the top half of the f32 pattern)."""
+    b = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return jax.lax.bitcast_convert_type(b, jnp.int32) & jnp.int32(-1 << 16)
+
+
+def pack_bf16_pair(hi, lo):
+    """One int32 word carrying two round-to-nearest bf16 values."""
+    return _bf16_hi(hi) | jax.lax.shift_right_logical(_bf16_hi(lo), 16)
+
+
+def _packed8_slab(cols, sorted_point_idx):
+    """(8, MK) int32 blend slab: rows [u, v, ca, cb, cc, logw] are f32
+    bitcasts (exact), row 6 = bf16(r)|bf16(g), row 7 = bf16(b)|bf16(depth).
+    Gathered as contiguous 32-byte (1, 8) rows from an (N, 8) table - half
+    the table bytes of wide16, which matters because the gather's per-index
+    cost cliffs with table size (see bin_points_to_tiles docstring)."""
+    u, v, ca, cb, cc, logw, cr, cg, cb_col, depth = cols
+    rows = jnp.stack(
+        [jax.lax.bitcast_convert_type(c, jnp.int32)
+         for c in (u, v, ca, cb, cc, logw)]
+        + [pack_bf16_pair(cr, cg), pack_bf16_pair(cb_col, depth)],
+        axis=0)                                      # (8, N) int32
+    # barrier: keep XLA from recomputing the pack per gathered element
+    # (same hazard as the wide16 path below)
+    rows = jax.lax.optimization_barrier(rows)
+    rows_t = rows.T                                  # (N, 8)
+    return jax.lax.gather(
+        rows_t, sorted_point_idx[None, :, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(0,), collapsed_slice_dims=(0,),
+            start_index_map=(0,)),
+        slice_sizes=(1, 8),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(8, -1)                                 # (8, MK)
+
+
 def bin_points_to_tiles(
     u: jnp.ndarray,            # (N,)
     v: jnp.ndarray,            # (N,)
@@ -257,11 +295,26 @@ def bin_points_to_tiles(
     slab_gather: str = "row",
     tier_a_cap: int = 0,
     pool_meta: str = "auto",
+    slab_format: str = "wide16",
 ) -> TileBinning:
     """attr_cols: optional 10 per-point f32 columns (u, v, conic_a, conic_b,
     conic_c, logw, r, g, b, depth). When given, the result carries
-    `point_data`, the (16, MK) blend slab, assembled with one packed gather
-    by sorted point id."""
+    `point_data`, the blend slab, assembled with one packed gather by sorted
+    point id. slab_format picks its layout:
+
+    - "wide16": (16, MK) f32 rows (ROW_* layout, see blend_pallas) - the
+      exact path, every attribute at full f32.
+    - "packed8": (8, MK) int32 rows [u, v, ca, cb, cc, logw (f32 bitcast),
+      rg, bd (two round-to-nearest bf16 halves per word)]. HALVES the
+      gathered table to 32 bytes/point: the gather is issue-rate bound with
+      a table-SIZE cliff (measured v5e: ~6.6 ns/idx at a 66 MB table,
+      ~13-22 ns at 133 MB - scratch/perf_gather_ab.py + the round-5 xprof
+      attribution), so at megapoint scale the (N, 16) f32 table is the
+      single most expensive object in the frame. Colors and depth carry
+      bf16 rounding (relative error 2^-9 ~ 0.2%, below the 1/255 output
+      quantization); u/v/conic/logw stay exact f32, so splat SHAPES and
+      alphas are bit-identical and only the blended color values move.
+      Inference-only (rgb_only path)."""
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     depth = jax.lax.stop_gradient(depth)
@@ -448,7 +501,16 @@ def bin_points_to_tiles(
     sorted_valid = sorted_key != INT32_MAX
     sorted_point_idx = jnp.where(sorted_valid, sorted_ids, 0)
     point_data = None
-    if attr_cols is not None:
+    if attr_cols is not None and slab_format == "packed8":
+        u, v, ca, cb, cc, logw, cr, cg, cb_col, depth = (
+            jax.lax.stop_gradient(c.astype(jnp.float32)) for c in attr_cols)
+        point_data = _packed8_slab(
+            (u, v, ca, cb, cc, logw, cr, cg, cb_col, depth),
+            sorted_point_idx)
+    elif attr_cols is not None and slab_format != "wide16":
+        raise ValueError(f"slab_format must be wide16|packed8, "
+                         f"got {slab_format!r}")
+    elif attr_cols is not None:
         # blend slab in ROW_* layout (see blend_pallas): ONE (16, MK) packed
         # gather of the per-point columns by sorted point id (~6 ns/index on
         # v5e, independent of the row count up to the 16-sublane tile).

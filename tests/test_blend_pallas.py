@@ -246,9 +246,13 @@ def _render_rgb_only(pc, feats, cam, cfg_base, alpha_scene=True):
     t_cam = jnp.zeros((1, 3))
     full = rasterize(jnp.array(pc), jnp.array(feats), inv, obj, q_cam,
                      t_cam, cam, cfg_base)
+    # slab_format pinned to the exact wide16: this fixture checks the
+    # rgb_only KERNEL path against the full path bit-for-bit; the packed8
+    # (bf16-color) format has its own exactness gate in test_slab_packed.py
     rgb = rasterize(jnp.array(pc), jnp.array(feats), inv, obj, q_cam,
                     t_cam, cam,
-                    dataclasses.replace(cfg_base, rgb_only=True))
+                    dataclasses.replace(cfg_base, rgb_only=True,
+                                        slab_format="wide16"))
     return full, rgb
 
 
