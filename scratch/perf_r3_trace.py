@@ -49,8 +49,9 @@ for _ in range(5):
     p, img = fwd(p, feats)
 img.block_until_ready()
 
+trace_dir = os.environ.get("TRACE_DIR", "/tmp/r3_trace")
 t0 = time.perf_counter()
-with jax.profiler.trace("/tmp/r3_trace"):
+with jax.profiler.trace(trace_dir):
     p = pc
     for _ in range(n_chained):
         p, img = fwd(p, feats)

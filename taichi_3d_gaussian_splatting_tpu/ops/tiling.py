@@ -91,8 +91,9 @@ class TileBinning(NamedTuple):
     key_overflow: jnp.ndarray         # () int32 keys dropped by max_keys
     tile_cap_overflow: jnp.ndarray    # () int32 tiles dropped (cap + pool)
     big_point_overflow: jnp.ndarray   # () int32 points dropped by pool caps
-    point_data: Optional[jnp.ndarray] = None  # (16, MK) blend slab (only
-    #   when attribute columns were passed - see blend_pallas ROW_* layout)
+    point_data: Optional[jnp.ndarray] = None  # blend slab (only when
+    #   attribute columns were passed): (16, MK) f32 wide16 (blend_pallas
+    #   ROW_* layout) or (8, MK) int32 packed8 (_packed8_slab)
 
 
 def pool_capacities(n: int, mid_point_divisor: int = 4,
